@@ -1,0 +1,175 @@
+"""Modulation / demodulation blocks.
+
+TPU-native equivalents of the reference's
+/root/reference/radio/blocks/signal/{frequencytranslator,frequencydiscriminator,
+frequencymodulator,pulseamplitudemodulator,quadratureamplitudemodulator}.lua.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from luaradio_tpu.core.block import Input, Output, SignalBlock
+from luaradio_tpu.ops.complexutil import const_complex
+from luaradio_tpu.ops.mixer import PhasorRamp
+from luaradio_tpu.ops.scan import cumsum_phase
+from luaradio_tpu.types import Bit, ComplexFloat32, Float32
+
+
+class FrequencyTranslatorBlock(SignalBlock):
+    """y = x * exp(j*2*pi*offset/rate * n): complex mixer via the split-table
+    phasor ramp (reference: frequencytranslator.lua — VOLK rotator / liquid
+    NCO per-sample loops)."""
+
+    def __init__(self, offset: float):
+        super().__init__()
+        self.offset = float(offset)
+        self.add_type_signature([Input("in", ComplexFloat32)],
+                                [Output("out", ComplexFloat32)])
+
+    def initialize(self):
+        omega = 2 * np.pi * self.offset / self.get_rate()
+        self._ramp = PhasorRamp(omega)
+
+    def init_state(self):
+        return jnp.float32(0.0)
+
+    def process(self, state, x):
+        y, phase = self._ramp.rotate(x, state)
+        return phase, y
+
+
+class FrequencyDiscriminatorBlock(SignalBlock):
+    """y[n] = arg(x[n] * conj(x[n-1])) / (2*pi*modulation_index)
+    (reference: frequencydiscriminator.lua:48-88, one-sample carried state)."""
+
+    def __init__(self, modulation_index: float):
+        super().__init__()
+        self.gain = 2 * np.pi * float(modulation_index)
+        self.add_type_signature([Input("in", ComplexFloat32)],
+                                [Output("out", Float32)])
+
+    def init_state(self):
+        return jnp.zeros((), dtype=jnp.complex64)
+
+    def process(self, state, x):
+        prev = jnp.concatenate([state[..., None], x[..., :-1]], axis=-1)
+        tmp = x * jnp.conj(prev)
+        y = jnp.arctan2(tmp.imag, tmp.real) * np.float32(1.0 / self.gain)
+        return x[..., -1], y
+
+
+class FrequencyModulatorBlock(SignalBlock):
+    """y[n] = exp(j*phi[n]), phi[n] = phi[n-1] + 2*pi*k*x[n]
+    (reference: frequencymodulator.lua pure path)."""
+
+    def __init__(self, modulation_index: float):
+        super().__init__()
+        self.modulation_index = float(modulation_index)
+        self.add_type_signature([Input("in", Float32)],
+                                [Output("out", ComplexFloat32)])
+
+    def init_state(self):
+        return jnp.float32(0.0)
+
+    def process(self, state, x):
+        delta = np.float32(2 * np.pi * self.modulation_index)
+        phi, carry = cumsum_phase(x * delta, state)
+        return carry, jnp.exp(1j * phi).astype(jnp.complex64)
+
+
+def _gray(v: int) -> int:
+    return v ^ (v >> 1)
+
+
+class PulseAmplitudeModulatorBlock(SignalBlock):
+    """Bits -> gray-coded M-level PAM at symbol_period samples per symbol
+    (reference: pulseamplitudemodulator.lua)."""
+
+    def __init__(self, symbol_rate: float, sample_rate: float, levels: int,
+                 msb_first: bool = True, amplitudes=None):
+        super().__init__()
+        if levels < 2 or levels & (levels - 1):
+            raise ValueError("levels must be a power of 2 and > 1")
+        self.symbol_rate = symbol_rate
+        self.sample_rate = sample_rate
+        self.levels = levels
+        self.symbol_bits = int(np.log2(levels))
+        self.symbol_period = int(sample_rate // symbol_rate)
+        self.msb_first = msb_first
+        if amplitudes is None:
+            scaling = np.sqrt((levels ** 2 - 1) / 3.0)
+            amplitudes = np.zeros(levels, dtype=np.float32)
+            for level in range(levels):
+                amplitudes[_gray(level)] = (2 * level - levels + 1) / scaling
+        self.amplitudes = np.asarray(amplitudes, dtype=np.float32)
+        self.add_type_signature([Input("in", Bit)], [Output("out", Float32)])
+
+    def get_rate_ratio(self):
+        return Fraction(self.symbol_period, self.symbol_bits)
+
+    def chunk_multiple(self):
+        return self.symbol_bits
+
+    def _symbol_indices(self, x):
+        b = self.symbol_bits
+        lead = x.shape[:-1]
+        bits = x.reshape(lead + (-1, b)).astype(jnp.int32)
+        if self.msb_first:
+            weights = 2 ** jnp.arange(b - 1, -1, -1, dtype=jnp.int32)
+        else:
+            weights = 2 ** jnp.arange(b, dtype=jnp.int32)
+        return jnp.sum(bits * weights, axis=-1)
+
+    def process(self, state, x):
+        idx = self._symbol_indices(x)
+        sym = jnp.asarray(self.amplitudes)[idx]
+        y = jnp.repeat(sym, self.symbol_period, axis=-1)
+        return state, y
+
+
+class QuadratureAmplitudeModulatorBlock(PulseAmplitudeModulatorBlock):
+    """Bits -> gray-coded square QAM constellation
+    (reference: quadratureamplitudemodulator.lua)."""
+
+    def __init__(self, symbol_rate: float, sample_rate: float, points: int,
+                 msb_first: bool = True, constellation=None):
+        if points < 2 or points & (points - 1):
+            raise ValueError("points must be a power of 2 and > 1")
+        symbol_bits = int(np.log2(points))
+        if constellation is None:
+            i_bits = -(-symbol_bits // 2)
+            q_bits = symbol_bits - i_bits
+            i_levels, q_levels = 2 ** i_bits, 2 ** q_bits
+            scaling = np.sqrt(2 * (points - 1) / 3.0)
+            constellation = np.zeros(points, dtype=np.complex64)
+            for point in range(points):
+                i_value = point >> q_bits
+                q_value = point & (q_levels - 1)
+                gray_point = (_gray(i_value) << q_bits) | _gray(q_value)
+                constellation[gray_point] = complex(
+                    2 * i_value - i_levels + 1,
+                    2 * q_value - q_levels + 1) / scaling
+        super().__init__(symbol_rate, sample_rate, points, msb_first,
+                         amplitudes=np.zeros(points, dtype=np.float32))
+        self.constellation = np.asarray(constellation, dtype=np.complex64)
+        self.signatures.clear()
+        self.add_type_signature([Input("in", Bit)],
+                                [Output("out", ComplexFloat32)])
+
+    def process(self, state, x):
+        idx = self._symbol_indices(x)
+        sym = const_complex(self.constellation)[idx]
+        y = jnp.repeat(sym, self.symbol_period, axis=-1)
+        return state, y
+
+
+__all__ = [
+    "FrequencyTranslatorBlock", "FrequencyDiscriminatorBlock",
+    "FrequencyModulatorBlock", "PulseAmplitudeModulatorBlock",
+    "QuadratureAmplitudeModulatorBlock",
+]

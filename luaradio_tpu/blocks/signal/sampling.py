@@ -1,0 +1,175 @@
+"""Sample-rate and plumbing blocks.
+
+TPU-native equivalents of the reference's
+/root/reference/radio/blocks/signal/{downsampler,upsampler,delay,interleave,
+deinterleave,nop,throttle}.lua.  Rate-changing blocks declare exact rational
+rate ratios and chunk-multiple constraints so the graph planner keeps every
+shape static; the per-call phase state the reference carries
+(downsampler.lua:45-55) is unnecessary because chunks are always a multiple
+of the decimation factor.
+"""
+
+from __future__ import annotations
+
+import time
+from fractions import Fraction
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from luaradio_tpu.core.block import HostBlock, Input, Output, SignalBlock
+from luaradio_tpu.types import Bit, Byte, ComplexFloat32, Float32
+
+
+class DownsamplerBlock(SignalBlock):
+    """y[n] = x[n*M] (reference: downsampler.lua)."""
+
+    def __init__(self, factor: int):
+        super().__init__()
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = int(factor)
+        for t in (ComplexFloat32, Float32):
+            self.add_type_signature([Input("in", t)], [Output("out", t)])
+
+    def get_rate_ratio(self):
+        return Fraction(1, self.factor)
+
+    def chunk_multiple(self):
+        return self.factor
+
+    def process(self, state, x):
+        return state, x[..., ::self.factor]
+
+
+class UpsamplerBlock(SignalBlock):
+    """Zero-stuffing upsampler (reference: upsampler.lua)."""
+
+    def __init__(self, factor: int):
+        super().__init__()
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = int(factor)
+        for t in (ComplexFloat32, Float32):
+            self.add_type_signature([Input("in", t)], [Output("out", t)])
+
+    def get_rate_ratio(self):
+        return Fraction(self.factor)
+
+    def process(self, state, x):
+        lead = x.shape[:-1]
+        n = x.shape[-1]
+        y = jnp.zeros(lead + (n, self.factor), dtype=x.dtype)
+        y = y.at[..., 0].set(x)
+        return state, y.reshape(lead + (n * self.factor,))
+
+
+class DelayBlock(SignalBlock):
+    """Delay by N samples through a carried sample line
+    (reference: delay.lua)."""
+
+    def __init__(self, num_samples: int):
+        super().__init__()
+        if num_samples <= 0:
+            raise ValueError("num_samples must be > 0")
+        self.num_samples = int(num_samples)
+        for t in (ComplexFloat32, Float32, Bit, Byte):
+            self.add_type_signature([Input("in", t)], [Output("out", t)])
+
+    def init_state(self):
+        return jnp.zeros((self.num_samples,), dtype=self.get_input_type().dtype)
+
+    def process(self, state, x):
+        xin = jnp.concatenate([state, x], axis=-1)
+        y = xin[..., :x.shape[-1]]
+        new_state = xin[..., x.shape[-1]:]
+        return new_state, y
+
+
+class InterleaveBlock(SignalBlock):
+    """Interleave N streams sample-by-sample into one stream at N-fold rate
+    (reference: interleave.lua)."""
+
+    def __init__(self, num_channels: int = 2):
+        super().__init__()
+        if num_channels < 2:
+            raise ValueError("num_channels must be > 1")
+        self.num_channels = int(num_channels)
+        for t in (Float32, ComplexFloat32):
+            ins = [Input(f"in{i+1}", t) for i in range(num_channels)]
+            self.add_type_signature(ins, [Output("out", t)])
+
+    def get_rate_ratio(self):
+        return Fraction(self.num_channels)
+
+    def process(self, state, *xs):
+        y = jnp.stack(xs, axis=-1)
+        return state, y.reshape(y.shape[:-2] + (-1,))
+
+
+class DeinterleaveBlock(SignalBlock):
+    """Deinterleave one stream into N streams at 1/N rate
+    (reference: deinterleave.lua)."""
+
+    def __init__(self, num_channels: int = 2):
+        super().__init__()
+        if num_channels < 2:
+            raise ValueError("num_channels must be > 1")
+        self.num_channels = int(num_channels)
+        for t in (Float32, ComplexFloat32):
+            outs = [Output(f"out{i+1}", t) for i in range(num_channels)]
+            self.add_type_signature([Input("in", t)], outs)
+
+    def get_rate_ratio(self):
+        return Fraction(1, self.num_channels)
+
+    def chunk_multiple(self):
+        return self.num_channels
+
+    def process(self, state, x):
+        k = self.num_channels
+        return state, tuple(x[..., i::k] for i in range(k))
+
+
+class NopBlock(SignalBlock):
+    """Pass-through of any type (reference: nop.lua)."""
+
+    def __init__(self):
+        super().__init__()
+        self.add_type_signature([Input("in", lambda t: True)],
+                                [Output("out", lambda ts: ts[0])])
+
+    def process(self, state, x):
+        return state, x
+
+
+class ThrottleBlock(HostBlock):
+    """Host-side rate pacing for real-time sinks (audio, plotting).  The
+    reference paces reads with adaptive usleep (throttle.lua:30-110); here the
+    host pump is paced by sleeping chunk_len/rate per chunk."""
+
+    def __init__(self, rate: float | None = None):
+        super().__init__()
+        self.rate_limit = rate
+        self._t_next = None
+        self.add_type_signature([Input("in", lambda t: True)],
+                                [Output("out", lambda ts: ts[0])])
+
+    def process(self, x):
+        rate = self.rate_limit or self.get_rate()
+        duration = len(x) / rate
+        now = time.monotonic()
+        if self._t_next is None:
+            self._t_next = now
+        self._t_next += duration
+        delay = self._t_next - now
+        if delay > 0:
+            time.sleep(delay)
+        return np.asarray(x)
+
+
+__all__ = [
+    "DownsamplerBlock", "UpsamplerBlock", "DelayBlock", "InterleaveBlock",
+    "DeinterleaveBlock", "NopBlock", "ThrottleBlock",
+]

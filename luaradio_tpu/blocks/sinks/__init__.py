@@ -1,0 +1,2 @@
+from luaradio_tpu.blocks.sinks.files import *  # noqa: F401,F403
+from luaradio_tpu.blocks.sinks.misc import *  # noqa: F401,F403

@@ -1,0 +1,2 @@
+from luaradio_tpu.blocks.sources.files import *  # noqa: F401,F403
+from luaradio_tpu.blocks.sources.signal import *  # noqa: F401,F403

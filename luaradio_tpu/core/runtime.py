@@ -1,0 +1,293 @@
+"""Flow-graph execution.
+
+The reference runs one OS process per block connected by UNIX socketpairs,
+with a poll()-based hot loop of read -> deserialize -> process -> serialize ->
+write (/root/reference/radio/core/composite.lua:568-636,
+/root/reference/radio/core/block.lua:556-608).  A secondary single-process
+round-robin scheduler exists for tests (composite.lua:647-707).
+
+TPU-native redesign: each *stage* of device blocks compiles into ONE jitted
+XLA program ``step(states, ext_inputs) -> (states, outputs)``; XLA fuses the
+entire chain, so block boundaries cost nothing and intermediate samples never
+round-trip through HBM unless a real data dependency demands it.  A host
+"pump" drives chunks: it reads host sources, feeds the fused programs, and
+hands boundary outputs to host blocks (protocol framers, file sinks).
+Back-pressure is lockstep; the device work is dispatched asynchronously so
+host I/O for chunk k+1 overlaps device compute for chunk k.
+
+Modes:
+  - "fused": jitted segments (production path).
+  - "eager": identical dataflow, no jit (debugging; analog of the reference's
+    single-process scheduler used by its test jig).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+import numpy as np
+
+from luaradio_tpu.core.block import (Block, HostBlock, HostSourceBlock,
+                                     SignalBlock, SignalSourceBlock, SinkBlock)
+from luaradio_tpu.core.composite import CompositeBlock, Graph, PortRef
+from luaradio_tpu.ops.complexutil import (host_to_payload, pack_complex,
+                                          payload_to_host, unpack_complex)
+
+
+def _to_host(value, n_valid=None, masked=False, complex_=False):
+    """Materialize an edge value on the host, compacting masked outputs.
+
+    Device edges carry complex chunks as interleaved float32 (TPU backends
+    reject complex64 at program boundaries — see ops.complexutil); they are
+    re-viewed as complex64 here, zero-copy.
+    """
+    if masked:
+        values, mask = value
+        arr = payload_to_host(np.asarray(values), complex_)
+        m = np.asarray(mask).astype(bool)
+        if n_valid is not None and n_valid < len(m):
+            m = m.copy()
+            m[n_valid:] = False
+        return arr[m]
+    if isinstance(value, (list, tuple)):
+        return value
+    arr = payload_to_host(np.asarray(value), complex_)
+    if n_valid is not None and n_valid < len(arr):
+        arr = arr[:n_valid]
+    return arr
+
+
+class Segment:
+    """A maximal group of device blocks compiled as one XLA program."""
+
+    def __init__(self, graph: Graph, blocks: list[Block], bid: dict[int, str],
+                 jit_compile: bool):
+        import jax
+
+        self.blocks = blocks
+        self.bid = bid
+        in_seg = {id(b) for b in blocks}
+
+        def _is_complex(block: Block, oi: int) -> bool:
+            t = block.output_types[oi]
+            return t is not None and t.dtype.kind == "c"
+
+        # External input edges (values produced outside this segment).
+        # Complex edges cross the jit boundary as interleaved float32
+        # (ops.complexutil): self.ext_complex marks which need unpacking.
+        self.ext_keys: list[str] = []
+        self.ext_complex: dict[str, bool] = {}
+        for b in blocks:
+            for i in range(len(b.inputs)):
+                src = graph.edges[PortRef(b, i)]
+                if id(src.block) not in in_seg:
+                    key = f"{bid[id(src.block)]}.{src.index}"
+                    if key not in self.ext_keys:
+                        self.ext_keys.append(key)
+                        self.ext_complex[key] = _is_complex(src.block,
+                                                            src.index)
+
+        # Output edges consumed outside the segment.
+        self.out_keys: list[str] = []
+        self.out_complex: dict[str, bool] = {}
+        for b in blocks:
+            for oi in range(len(b.outputs)):
+                consumers = graph.consumers(PortRef(b, oi))
+                if any(id(c.block) not in in_seg for c in consumers):
+                    key = f"{bid[id(b)]}.{oi}"
+                    self.out_keys.append(key)
+                    self.out_complex[key] = _is_complex(b, oi)
+
+        gen_len = {bid[id(b)]: graph.out_chunk[id(b)] for b in blocks
+                   if isinstance(b, SignalSourceBlock)}
+        edges = graph.edges
+
+        def step(states: dict, ext: dict):
+            vals = {k: (unpack_complex(v) if self.ext_complex[k] else v)
+                    for k, v in ext.items()}
+            new_states = dict(states)
+            for b in blocks:
+                k = bid[id(b)]
+                if isinstance(b, SignalSourceBlock):
+                    st, outs = b.generate(states[k], gen_len[k])
+                else:
+                    ins = []
+                    for i in range(len(b.inputs)):
+                        src = edges[PortRef(b, i)]
+                        ins.append(vals[f"{bid[id(src.block)]}.{src.index}"])
+                    st, outs = b.process(states[k], *ins)
+                new_states[k] = st
+                if len(b.outputs) == 1 and not isinstance(outs, (tuple, list)):
+                    outs = (outs,)
+                elif getattr(b, "masked_output", False):
+                    outs = (outs,)  # (values, mask) pair is one port
+                for oi, y in enumerate(outs):
+                    vals[f"{k}.{oi}"] = y
+
+            def boundary(ok):
+                v = vals[ok]
+                if not self.out_complex[ok]:
+                    return v
+                if isinstance(v, tuple):  # masked: (values, mask)
+                    return (pack_complex(v[0]), v[1])
+                return pack_complex(v)
+
+            return new_states, {ok: boundary(ok) for ok in self.out_keys}
+
+        if jit_compile:
+            self.fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            self.fn = step
+
+        # Initial states are created inside a jitted thunk: complex zeros
+        # cannot be created eagerly on TPU backends (boundary constraint),
+        # but as jit outputs they are device-resident and never transferred.
+        self.states = jax.jit(
+            lambda: {bid[id(b)]: b.init_state() for b in blocks})()
+
+    def run(self, ext: dict):
+        self.states, outs = self.fn(self.states, ext)
+        return outs
+
+
+class Runner:
+    def __init__(self, top: CompositeBlock, mode: str = "fused",
+                 chunk_size: int | None = None):
+        self.graph = Graph(top, chunk_size=chunk_size)
+        self.mode = mode
+        g = self.graph
+        self.bid = {id(b): f"b{i}" for i, b in enumerate(g.order)}
+
+        # Build one segment per stage that contains device blocks.
+        self.stage_plan: list[tuple[Segment | None, list[Block]]] = []
+        for s in range(g.num_stages):
+            dev = [b for b in g.order
+                   if g.stage[id(b)] == s and b.domain == "device"]
+            host = [b for b in g.order
+                    if g.stage[id(b)] == s and b.domain == "host"
+                    and not isinstance(b, HostSourceBlock)]
+            seg = Segment(g, dev, self.bid, mode == "fused") if dev else None
+            self.stage_plan.append((seg, host))
+
+        self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.running = False
+        self.chunks_processed = 0
+
+    # ------------------------------------------------------------------
+    def _pump_once(self) -> bool:
+        """Process one chunk through the whole graph.  Returns False at EOF."""
+        import jax.numpy as jnp
+
+        g = self.graph
+        values: dict[str, Any] = {}
+        nvalid: dict[str, int] = {}
+        eof = False
+
+        # 1. read host sources (padding the final partial chunk to keep
+        #    shapes static — reference semantics end the stream at EOF).
+        for s in self.sources:
+            want = g.out_chunk[id(s)]
+            data = s.read(want)
+            if data is None:
+                return False
+            if not isinstance(data, tuple):
+                data = (data,)
+            for oi, arr in enumerate(data):
+                arr = np.asarray(arr)
+                nv = len(arr)
+                if nv < want:
+                    eof = True
+                    pad = np.zeros(want - nv, dtype=arr.dtype)
+                    arr = np.concatenate([arr, pad])
+                values[f"{self.bid[id(s)]}.{oi}"] = arr
+                nvalid[f"{self.bid[id(s)]}.{oi}"] = nv
+        if any(nvalid.get(f"{self.bid[id(s)]}.0", 1) == 0 for s in self.sources):
+            return False
+
+        # 2. run stages
+        for seg, host_blocks in self.stage_plan:
+            if seg is not None:
+                ext = {k: jnp.asarray(host_to_payload(values[k]))
+                       if isinstance(values[k], np.ndarray) else values[k]
+                       for k in seg.ext_keys}
+                outs = seg.run(ext)
+                values.update(outs)
+                for b in seg.blocks:
+                    k = self.bid[id(b)]
+                    nin = min((nvalid.get(f"{self.bid[id(g.edges[PortRef(b, i)].block)]}"
+                                          f".{g.edges[PortRef(b, i)].index}",
+                                          g.in_chunk[id(b)])
+                               for i in range(len(b.inputs))),
+                              default=g.out_chunk[id(b)])
+                    if b.inputs:
+                        nvalid[f"{k}.0"] = b.out_count(nin)
+                        for oi in range(1, len(b.outputs)):
+                            nvalid[f"{k}.{oi}"] = nvalid[f"{k}.0"]
+            for b in host_blocks:
+                ins = []
+                for i in range(len(b.inputs)):
+                    src = g.edges[PortRef(b, i)]
+                    sk = f"{self.bid[id(src.block)]}.{src.index}"
+                    if isinstance(b, SinkBlock) and not b.wants_data:
+                        ins.append(values[sk])
+                        continue
+                    masked = getattr(src.block, "masked_output", False)
+                    t = src.block.output_types[src.index]
+                    cplx = t is not None and t.dtype.kind == "c"
+                    ins.append(_to_host(values[sk], nvalid.get(sk), masked,
+                                        cplx))
+                outs = b.process(*ins)
+                if outs is not None:
+                    if not isinstance(outs, tuple):
+                        outs = (outs,)
+                    k = self.bid[id(b)]
+                    for oi, y in enumerate(outs):
+                        values[f"{k}.{oi}"] = y
+                        try:
+                            nvalid[f"{k}.{oi}"] = len(y)
+                        except TypeError:
+                            pass
+        self.chunks_processed += 1
+        return not eof
+
+    def run(self, max_chunks: int | None = None):
+        import jax
+
+        self.running = True
+        try:
+            n = 0
+            while not self._stop.is_set():
+                if not self._pump_once():
+                    break
+                n += 1
+                if max_chunks is not None and n >= max_chunks:
+                    break
+            # Drain the async dispatch queue before cleanup.
+            for seg, _ in self.stage_plan:
+                if seg is not None:
+                    jax.block_until_ready(seg.states)
+        finally:
+            self.running = False
+            for b in self.graph.order:
+                b.cleanup()
+
+    # -- threaded start/wait/stop (reference composite.lua:534,886,913) ----
+    def start(self):
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self.running = True
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.wait()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
+__all__ = ["Runner", "Segment"]

@@ -1,0 +1,117 @@
+"""Linear-recurrence kernels (IIR filters, averaging loops) as parallel
+associative scans.
+
+The reference implements IIR filters as sequential per-sample loops through
+liquid-dsp or pure Lua (/root/reference/radio/blocks/signal/iirfilter.lua).
+A sequential loop is the worst possible TPU program, so recurrences are
+reformulated as **associative scans** over affine maps, which XLA executes as
+a log-depth parallel tree on the VPU:
+
+* first-order:  y[n] = a*y[n-1] + u[n]    — scalar affine pairs (a, u)
+* order-p:      s[n] = A s[n-1] + g x[n]  — (p x p matrix, p vector) pairs,
+  the transposed-direct-form-II state-space of the b/a tap form.
+
+Cost is O(N log N) elementwise work and O(N p^2) memory; for the p <= 4
+filters of real receivers this is far cheaper than any sequential loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
+    """Solve y[n] = a*y[n-1] + u[n] for all n in parallel.
+
+    u: [..., N]; a: scalar (or broadcastable array); y0: [...] initial y[-1].
+    Returns y: [..., N].
+    """
+    a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
+
+    def combine(c1, c2):
+        a1, u1 = c1
+        a2, u2 = c2
+        return a1 * a2, a2 * u1 + u2
+
+    acum, ucum = lax.associative_scan(combine, (a_arr, u), axis=-1)
+    y0 = jnp.asarray(y0, dtype=u.dtype)
+    return acum * y0[..., None] + ucum
+
+
+def iir_state_space(b_taps: np.ndarray, a_taps: np.ndarray):
+    """Build the transposed-direct-form-II state-space (A, g, b0) for
+    y = b/a filtering with a[0]-normalized coefficients.
+
+    s[n] = A s[n-1] + g x[n];  y[n] = b0 x[n] + s[n-1][0].
+    """
+    b = np.asarray(b_taps, dtype=np.float64)
+    a = np.asarray(a_taps, dtype=np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    p = max(len(b), len(a)) - 1
+    bb = np.zeros(p + 1)
+    bb[:len(b)] = b
+    aa = np.zeros(p + 1)
+    aa[:len(a)] = a
+    A = np.zeros((p, p))
+    for i in range(p - 1):
+        A[i, i + 1] = 1.0
+    A[:, 0] = -aa[1:]
+    g = bb[1:] - aa[1:] * bb[0]
+    return A.astype(np.float32), g.astype(np.float32), np.float32(bb[0])
+
+
+def iir_apply(x: jnp.ndarray, A: jnp.ndarray, g: jnp.ndarray, b0,
+              s0: jnp.ndarray):
+    """Apply an order-p IIR via associative scan over affine maps.
+
+    x: [..., N]; A: [p, p]; g: [p]; s0: [..., p] carried state.
+    Returns (y [..., N], s_new [..., p]).
+    """
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    p = A.shape[0]
+    dtype = x.dtype
+    A = A.astype(jnp.float32)
+    if jnp.iscomplexobj(x):
+        A = A.astype(dtype)
+    g = g.astype(dtype)
+
+    # v[n] = g * x[n]  (affine offsets), constant matrices broadcast per step
+    v = x[..., None] * g  # [..., N, p]
+    mats = jnp.broadcast_to(A, lead + (n, p, p))
+
+    def combine(c1, c2):
+        m1, v1 = c1
+        m2, v2 = c2
+        return (jnp.einsum("...ij,...jk->...ik", m2, m1,
+                           precision=lax.Precision.HIGHEST),
+                jnp.einsum("...ij,...j->...i", m2, v1,
+                           precision=lax.Precision.HIGHEST) + v2)
+
+    mcum, vcum = lax.associative_scan(combine, (mats, v), axis=-3)
+    # s[n] = mcum[n] @ s0 + vcum[n]
+    s = jnp.einsum("...nij,...j->...ni", mcum, s0.astype(dtype),
+                   precision=lax.Precision.HIGHEST) + vcum
+    s_prev = jnp.concatenate([s0.astype(dtype)[..., None, :], s[..., :-1, :]],
+                             axis=-2)
+    y = jnp.asarray(b0, dtype=dtype) * x + s_prev[..., 0]
+    return y, s[..., -1, :]
+
+
+def cumsum_phase(x: jnp.ndarray, phase0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Running phase accumulation with wrap-around: phi[n] = phi[n-1] + x[n],
+    kept in (-pi, pi] to preserve float32 precision over unbounded streams.
+    Returns (phi [..., N], carry phi[N-1])."""
+    two_pi = jnp.asarray(2 * np.pi, dtype=x.dtype)
+    phi = jnp.cumsum(x, axis=-1) + jnp.asarray(phase0, dtype=x.dtype)[..., None]
+    carry = phi[..., -1]
+    carry = carry - two_pi * jnp.round(carry / two_pi)
+    return phi, carry
+
+
+__all__ = ["linrec_first_order", "iir_state_space", "iir_apply", "cumsum_phase"]
