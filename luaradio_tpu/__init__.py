@@ -16,6 +16,8 @@ __version__ = "0.1.0"
 
 from luaradio_tpu import types  # noqa: F401
 from luaradio_tpu.blocks import *  # noqa: F401,F403
+from luaradio_tpu.blocks.protocol import *  # noqa: F401,F403
+from luaradio_tpu.composites import *  # noqa: F401,F403
 from luaradio_tpu.core import (Block, CompositeBlock, HostBlock,  # noqa: F401
                                HostSourceBlock, Input, Output, SignalBlock,
                                SignalSourceBlock, SinkBlock, SourceBlock)

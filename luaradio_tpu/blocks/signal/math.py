@@ -121,6 +121,8 @@ class ComplexConjugateBlock(SignalBlock):
 
 
 class ComplexMagnitudeBlock(SignalBlock):
+    dual = True
+
     def __init__(self):
         super().__init__()
         self.add_type_signature([Input("in", ComplexFloat32)],
@@ -129,8 +131,13 @@ class ComplexMagnitudeBlock(SignalBlock):
     def process(self, state, x):
         return state, jnp.abs(x)
 
+    def process_host(self, x):
+        return np.abs(np.asarray(x)).astype(np.float32)
+
 
 class ComplexPhaseBlock(SignalBlock):
+    dual = True
+
     def __init__(self):
         super().__init__()
         self.add_type_signature([Input("in", ComplexFloat32)],
@@ -139,8 +146,16 @@ class ComplexPhaseBlock(SignalBlock):
     def process(self, state, x):
         return state, jnp.angle(x)
 
+    def process_host(self, x):
+        return np.angle(np.asarray(x)).astype(np.float32)
+
 
 class ComplexToRealBlock(SignalBlock):
+    """Dual-domain: also runs host-side when fed by a variable-rate stage
+    (e.g. downstream of SamplerBlock in the RDS/BPSK31 chains)."""
+
+    dual = True
+
     def __init__(self):
         super().__init__()
         self.add_type_signature([Input("in", ComplexFloat32)],
@@ -149,8 +164,13 @@ class ComplexToRealBlock(SignalBlock):
     def process(self, state, x):
         return state, jnp.real(x)
 
+    def process_host(self, x):
+        return np.real(np.asarray(x))
+
 
 class ComplexToImagBlock(SignalBlock):
+    dual = True
+
     def __init__(self):
         super().__init__()
         self.add_type_signature([Input("in", ComplexFloat32)],
@@ -158,6 +178,9 @@ class ComplexToImagBlock(SignalBlock):
 
     def process(self, state, x):
         return state, jnp.imag(x)
+
+    def process_host(self, x):
+        return np.imag(np.asarray(x))
 
 
 class ComplexToFloatBlock(SignalBlock):

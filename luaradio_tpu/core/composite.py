@@ -85,15 +85,25 @@ class CompositeBlock(Block):
         for b in (src, dst):
             if b is not self and b not in self._blocks:
                 self._blocks.append(b)
-        # Alias declarations: self as src -> input alias; self as dst -> output
-        # alias.  If connecting (self, 'in', inner, 'in') the port named 'in'
-        # must exist on self's external signature.
+        # Alias declarations reference one of self's external ports; like the
+        # reference (composite.lua:111-186) the direction is inferred from
+        # the *kind* of self's port, so both connect(self, 'out', inner,
+        # 'out') and connect(inner, 'out', self, 'out') declare an output
+        # alias.
+        if dst is self:
+            src, src_port, dst, dst_port = dst, dst_port, src, src_port
         if src is self:
-            _in_index(self, src_port)       # validate external input exists
-            _in_index(dst, dst_port)
-        elif dst is self:
-            _out_index(self, dst_port)      # validate external output exists
-            _out_index(src, src_port)
+            in_names = {p.name for p in self.inputs}
+            if src_port in in_names:
+                # input alias: (self, 'in') -> (inner, 'in')
+                _in_index(dst, dst_port)
+                self._connections.append((self, src_port, dst, dst_port))
+            else:
+                # output alias: (inner, 'out') -> (self, 'out')
+                _out_index(self, src_port)
+                _out_index(dst, dst_port)
+                self._connections.append((dst, dst_port, self, src_port))
+            return
         else:
             _out_index(src, src_port)
             _in_index(dst, dst_port)

@@ -77,29 +77,43 @@ def float_to_raw(x: np.ndarray, fmt: SampleFormat) -> np.ndarray:
 
 def bytes_to_complex(buf: bytes, fmt: SampleFormat) -> np.ndarray:
     """Interleaved I/Q wire bytes -> complex64 samples."""
+    from luaradio_tpu.utils import native
     n = len(buf) // (2 * fmt.itemsize)
+    if native.available():
+        f = native.raw_bytes_to_f32(buf[:n * 2 * fmt.itemsize], fmt.name,
+                                    fmt.offset, fmt.scale)
+        return f.view(np.complex64)
     raw = np.frombuffer(buf, dtype=fmt.dtype, count=2 * n)
     f = raw_to_float(raw, fmt)
-    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    return np.ascontiguousarray(f).view(np.complex64)
 
 
 def bytes_to_real(buf: bytes, fmt: SampleFormat) -> np.ndarray:
     """Wire bytes -> float32 samples."""
+    from luaradio_tpu.utils import native
     n = len(buf) // fmt.itemsize
+    if native.available():
+        return native.raw_bytes_to_f32(buf[:n * fmt.itemsize], fmt.name,
+                                       fmt.offset, fmt.scale)
     raw = np.frombuffer(buf, dtype=fmt.dtype, count=n)
     return raw_to_float(raw, fmt)
 
 
 def complex_to_bytes(x: np.ndarray, fmt: SampleFormat) -> bytes:
-    x = np.asarray(x)
-    inter = np.empty(2 * len(x), dtype=np.float32)
-    inter[0::2] = x.real
-    inter[1::2] = x.imag
+    from luaradio_tpu.utils import native
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.complex64))
+    inter = x.view(np.float32)
+    if native.available():
+        return native.f32_to_raw_bytes(inter, fmt.name, fmt.offset, fmt.scale)
     return float_to_raw(inter, fmt).tobytes()
 
 
 def real_to_bytes(x: np.ndarray, fmt: SampleFormat) -> bytes:
-    return float_to_raw(np.asarray(x), fmt).tobytes()
+    from luaradio_tpu.utils import native
+    x = np.asarray(x, dtype=np.float32)
+    if native.available():
+        return native.f32_to_raw_bytes(x, fmt.name, fmt.offset, fmt.scale)
+    return float_to_raw(x, fmt).tobytes()
 
 
 __all__ = [

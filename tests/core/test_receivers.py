@@ -1,0 +1,170 @@
+"""End-to-end receiver integration tests: synthesize a modulated RF capture
+with numpy, run the full receiver composite through the runtime, and check
+the decoded frames/messages.
+
+These are the TPU analog of the reference's example-level validation — they
+exercise the fused device chain, the masked Sampler boundary, dual-block
+demotion, and the host framers in one graph.
+"""
+
+import numpy as np
+import pytest
+
+import luaradio_tpu as radio
+from luaradio_tpu.blocks.protocol.pocsag import POCSAG_FRAME_SYNC_CODEWORD, \
+    POCSAG_IDLE_CODEWORD
+from luaradio_tpu.core.block import HostSourceBlock, Input, Output
+from luaradio_tpu.core.composite import CompositeBlock
+from luaradio_tpu.types import ComplexFloat32
+
+from tests.blocks.test_protocol import pocsag_encode_codeword, rds_encode_group
+
+RNG = np.random.default_rng(99)
+
+
+class ArraySource(HostSourceBlock):
+    def __init__(self, data, rate):
+        super().__init__()
+        self.rate = rate
+        self._data = np.asarray(data)
+        self._pos = 0
+        self.add_type_signature([], [Output("out", ComplexFloat32)])
+
+    def read(self, n):
+        if self._pos >= len(self._data):
+            return None
+        chunk = self._data[self._pos:self._pos + n]
+        self._pos += len(chunk)
+        return chunk
+
+
+class CollectSink(radio.SinkBlock):
+    def __init__(self):
+        super().__init__()
+        self.items = []
+        self.add_type_signature([Input("in", lambda t: True)], [])
+
+    def process(self, x):
+        if isinstance(x, (list, tuple)):
+            self.items.extend(x)
+        else:
+            self.items.extend(np.asarray(x).reshape(-1).tolist())
+
+
+def fm_modulate(msg: np.ndarray, k: float) -> np.ndarray:
+    phi = 2 * np.pi * k * np.cumsum(msg.astype(np.float64))
+    return np.exp(1j * phi).astype(np.complex64)
+
+
+def manchester_diff_encode(bits: np.ndarray) -> np.ndarray:
+    """Differential-encode then Manchester-encode (1 -> 10, 0 -> 01),
+    matching the RDS receiver's Manchester + differential decode order."""
+    diff = np.zeros(len(bits), dtype=np.uint8)
+    prev = 0
+    for i, b in enumerate(bits):
+        prev = prev ^ b
+        diff[i] = prev
+    mane = np.zeros(2 * len(bits), dtype=np.uint8)
+    mane[0::2] = diff
+    mane[1::2] = 1 - diff
+    return mane
+
+
+def test_rds_receiver_end_to_end():
+    """Synthesize an FM-MPX baseband with 19 kHz pilot + 57 kHz BPSK RDS
+    sidebands, FM-modulate it, and decode RDS groups with the full
+    receiver."""
+    rate = 228000.0  # 12 x 19 kHz
+    groups = [tuple(int(v) for v in RNG.integers(0, 1 << 16, 4))
+              for _ in range(6)]
+    bits = np.concatenate([rds_encode_group(g) for g in groups])
+    chips = manchester_diff_encode(bits)  # 2375 chips/s
+
+    chip_rate = 1187.5 * 2
+    sps = rate / chip_rate  # 96 samples per chip
+    n = int(len(chips) * sps) + int(rate * 0.05)
+    t = np.arange(n) / rate
+    chip_idx = np.minimum((t * chip_rate).astype(int), len(chips) - 1)
+    bpsk = 2.0 * chips[chip_idx] - 1.0
+
+    pilot = np.cos(2 * np.pi * 19e3 * t)
+    carrier57 = np.cos(3 * 2 * np.pi * 19e3 * t)
+    audio = 0.2 * np.sin(2 * np.pi * 800.0 * t)
+    mpx = audio + 0.1 * pilot + 0.06 * bpsk * carrier57
+
+    iq = fm_modulate(mpx, 1.0)
+
+    top = CompositeBlock()
+    src = ArraySource(iq, rate)
+    rx = radio.RDSReceiver()
+    sink = CollectSink()
+    top.connect(src, rx, sink)
+    top.run(chunk_size=1 << 17)
+
+    # random groups mostly decode as "raw" packets carrying the block words;
+    # a group whose random group code hits 0/2/4 decodes as a typed packet,
+    # so compare on the raw ones only
+    raw_found = [tuple(p.data["frame"]) for p in sink.items
+                 if p.data.get("type") == "raw"]
+    recovered = [g for g in groups if g in raw_found]
+    # at least half the groups must come through (PLL/clock sync transient
+    # can eat the first one; typed packets are excluded from the comparison)
+    assert len(sink.items) >= 4
+    assert len(recovered) >= 3, (groups, raw_found)
+
+
+def test_pocsag_receiver_end_to_end():
+    """Synthesize 2-FSK POCSAG at 4.5 kHz deviation and decode a message
+    with the full receiver."""
+    rate = 38400.0
+    baud = 1200
+    address, func = 0x12342, 2
+
+    # message "HI" alphanumeric
+    text_bits = []
+    for ch in "HI" + chr(0x17):
+        text_bits.extend((ord(ch) >> i) & 1 for i in range(7))
+    while len(text_bits) % 20:
+        text_bits.append(1)
+    words = [int("".join(map(str, text_bits[i:i + 20])), 2)
+             for i in range(0, len(text_bits), 20)]
+
+    batch = []
+    placed = False
+    data_left = list(words)
+    for j in range(16):
+        if not placed and (j >> 1) == (address & 0x7):
+            batch.append(pocsag_encode_codeword(((address >> 3) << 2) | func))
+            placed = True
+        elif placed and data_left:
+            batch.append(pocsag_encode_codeword((1 << 20) | data_left.pop(0)))
+        else:
+            batch.append(POCSAG_IDLE_CODEWORD)
+
+    bit_stream = [np.asarray([1, 0] * 288, dtype=np.uint8)]  # preamble
+    for sync_batch in (batch, [POCSAG_IDLE_CODEWORD] * 16):
+        bit_stream.append(radio.types.number_to_bits(
+            POCSAG_FRAME_SYNC_CODEWORD, 32))
+        for cw in sync_batch:
+            bit_stream.append(radio.types.number_to_bits(cw, 32))
+    bits = np.concatenate(bit_stream)
+
+    # 2-FSK: bit 1 -> -4.5 kHz (mark), bit 0 -> +4.5 kHz (space)
+    sps = int(rate / baud)
+    freqs = np.where(np.repeat(bits, sps) == 1, -4500.0, 4500.0)
+    phi = 2 * np.pi * np.cumsum(freqs) / rate
+    iq = np.exp(1j * phi).astype(np.complex64)
+    iq = np.concatenate([iq, np.zeros(4096, dtype=np.complex64)])
+
+    top = CompositeBlock()
+    src = ArraySource(iq, rate)
+    rx = radio.POCSAGReceiver(baud)
+    sink = CollectSink()
+    top.connect(src, rx, sink)
+    top.run(chunk_size=1 << 15)
+
+    assert len(sink.items) >= 1, "no POCSAG messages decoded"
+    msg = sink.items[0]
+    assert msg.address == address
+    assert msg.func == func
+    assert msg.alphanumeric == "HI"
