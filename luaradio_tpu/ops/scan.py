@@ -24,22 +24,48 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _affine_combine(c1, c2):
+    a1, u1 = c1
+    a2, u2 = c2
+    return a1 * a2, a2 * u1 + u2
+
+
 def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     """Solve y[n] = a*y[n-1] + u[n] for all n in parallel.
 
     u: [..., N]; a: scalar (or broadcastable array); y0: [...] initial y[-1].
     Returns y: [..., N].
+
+    Two-level blocked scan: a plain associative_scan is ~log2(N) elementwise
+    passes over HBM; blocking into [N/B, B] scans the short block axis, then
+    the tiny summary axis, then applies the carries — ~3 passes total.
+    Falls back to the flat scan when a is an array (data-dependent decay,
+    e.g. the AGC gate) or N is small/ragged.
     """
-    a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
+    a_is_array = hasattr(a, "shape") and np.ndim(a) > 0
+    n = u.shape[-1]
+    B = 256
+    if a_is_array or n < 4 * B or n % B != 0:
+        a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
+        acum, ucum = lax.associative_scan(_affine_combine, (a_arr, u),
+                                          axis=-1)
+        y0 = jnp.asarray(y0, dtype=u.dtype)
+        return acum * y0[..., None] + ucum
 
-    def combine(c1, c2):
-        a1, u1 = c1
-        a2, u2 = c2
-        return a1 * a2, a2 * u1 + u2
-
-    acum, ucum = lax.associative_scan(combine, (a_arr, u), axis=-1)
+    lead = u.shape[:-1]
+    nb = n // B
+    ub = u.reshape(lead + (nb, B))
+    ab = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), ub.shape)
+    acum, ucum = lax.associative_scan(_affine_combine, (ab, ub), axis=-1)
+    # block summaries -> exclusive carry per block
+    sa = acum[..., -1]
+    su = ucum[..., -1]
+    ca, cu = lax.associative_scan(_affine_combine, (sa, su), axis=-1)
     y0 = jnp.asarray(y0, dtype=u.dtype)
-    return acum * y0[..., None] + ucum
+    carry_y = ca * y0[..., None] + cu               # y at each block's end
+    carry_in = jnp.concatenate([y0[..., None], carry_y[..., :-1]], axis=-1)
+    y = acum * carry_in[..., None] + ucum
+    return y.reshape(lead + (n,))
 
 
 def iir_state_space(b_taps: np.ndarray, a_taps: np.ndarray):
