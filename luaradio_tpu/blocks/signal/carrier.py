@@ -75,6 +75,20 @@ class PLLBlock(SignalBlock):
         mult = np.float32(self.multiplier)
         two_pi = np.float32(2 * np.pi)
 
+        # Unbatched streams on TPU use the Pallas kernel (ops/pll.py):
+        # the whole feedback loop runs on-core with state in registers.
+        if x.ndim == 1 and jax.default_backend() != "cpu":
+            from luaradio_tpu.ops.pll import pll_pallas
+            phi_l, phi_m, freq = state
+            st = jnp.stack([jnp.asarray(phi_l, jnp.float32),
+                            jnp.asarray(phi_m, jnp.float32),
+                            jnp.asarray(freq, jnp.float32)])
+            xp = jnp.stack([jnp.real(x), jnp.imag(x)])
+            out_pair, err, st2 = pll_pallas(xp, st, alpha, beta, fmin, fmax,
+                                            mult, interpret=False)
+            out = lax.complex(out_pair[0], out_pair[1])
+            return (st2[0], st2[1], st2[2]), (out, err[0])
+
         def step(carry, xi):
             phi_l, phi_m, freq = carry
             vco = jnp.exp(1j * phi_l)

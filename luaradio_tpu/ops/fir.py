@@ -36,30 +36,87 @@ import jax.numpy as jnp
 from jax import lax
 
 
+#: Output frame hop of the matmul formulation; (B + M - 1, B) tap matrices
+#: tile the 128x128 MXU exactly.
+_FRAME_B = 128
+
+
+def _toeplitz_taps(h: np.ndarray | jnp.ndarray, b: int) -> jnp.ndarray:
+    """Banded Toeplitz matrix T [b+M-1, b] with T[c, j] = h[M-1 + j - c]
+    (zero outside the band), so frames @ T computes the causal FIR."""
+    h = jnp.asarray(h)
+    m = h.shape[0]
+    c = jnp.arange(b + m - 1)[:, None]
+    j = jnp.arange(b)[None, :]
+    k = (m - 1) + j - c
+    hpad = jnp.concatenate([h, jnp.zeros((1,), h.dtype)])
+    return hpad[jnp.clip(k, 0, m)] * ((k >= 0) & (k < m))
+
+
+def _frames(xin: jnp.ndarray, b: int, p: int, nf: int) -> jnp.ndarray:
+    """Overlapping frames [..., nf, b+p] with hop b from xin [..., nf*b+p]
+    via reshape+concat (no gather).  Requires p <= b."""
+    lead = xin.shape[:-1]
+    pad = jnp.zeros(lead + (b - p,), xin.dtype)
+    x2 = jnp.concatenate([xin, pad], axis=-1).reshape(lead + (nf + 1, b))
+    return jnp.concatenate([x2[..., :-1, :], x2[..., 1:, :p]], axis=-1)
+
+
 def _conv_valid(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    """Real 'valid' correlation with reversed taps == causal convolution
-    window.  x: [..., N+M-1] real, h: [M] real -> [..., N]."""
+    """Real 'valid' causal convolution: x [..., N+M-1] real, h [M] real ->
+    [..., N].
+
+    TPU-native formulation: frame the input into [N/B, B+M-1] overlapping
+    frames (reshape+concat, no gather) and multiply by the banded Toeplitz
+    tap matrix on the MXU.  A conv_general_dilated with a size-1 channel dim
+    lays out [*, 1, N] catastrophically on TPU (128x padding); the framed
+    matmul tiles the MXU exactly with <=2x FLOP overhead for M <= 129.
+    """
+    m = h.shape[0]
+    p = m - 1
+    n = x.shape[-1] - p
     lead = x.shape[:-1]
-    lhs = x.reshape((-1, 1, x.shape[-1]))
-    rhs = h[::-1].reshape((1, 1, -1)).astype(x.dtype)
-    out = lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=lax.Precision.HIGHEST)
-    return out.reshape(lead + (out.shape[-1],))
+    b = _FRAME_B
+    if p > b or n < 2 * b:
+        # tall filters / tiny chunks: fall back to a dot over shifted slices
+        y = jnp.zeros(lead + (n,), x.dtype)
+        for k in range(m):
+            y = y + h[m - 1 - k] * x[..., k:k + n]
+        return y
+    nf = -(-n // b)
+    xin = x
+    if nf * b != n:  # pad to a whole number of frames
+        xin = jnp.concatenate(
+            [x, jnp.zeros(lead + (nf * b - n,), x.dtype)], axis=-1)
+    fr = _frames(xin, b, p, nf)
+    t = _toeplitz_taps(h, b).astype(x.dtype)
+    y = jnp.einsum("...fc,cb->...fb", fr, t,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(lead + (nf * b,))[..., :n]
 
 
 def _conv_valid_2ch(xr, xi, hr, hi) -> jnp.ndarray:
-    """sum of conv(xr, hr) + conv(xi, hi) fused as a 2-input-channel conv."""
+    """conv(xr, hr) + conv(xi, hi), fused as one matmul with stacked
+    Toeplitz tap matrices."""
+    m = hr.shape[0]
+    p = m - 1
+    n = xr.shape[-1] - p
     lead = xr.shape[:-1]
-    lhs = jnp.stack([xr.reshape((-1, xr.shape[-1])),
-                     xi.reshape((-1, xi.shape[-1]))], axis=1)
-    rhs = jnp.stack([hr[::-1], hi[::-1]]).reshape((1, 2, -1)).astype(lhs.dtype)
-    out = lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=lax.Precision.HIGHEST)
-    return out.reshape(lead + (out.shape[-1],))
+    b = _FRAME_B
+    if p > b or n < 2 * b:
+        return _conv_valid(xr, hr) + _conv_valid(xi, hi)
+    nf = -(-n // b)
+    if nf * b != n:
+        pad = jnp.zeros(lead + (nf * b - n,), xr.dtype)
+        xr = jnp.concatenate([xr, pad], axis=-1)
+        xi = jnp.concatenate([xi, pad], axis=-1)
+    fr = jnp.concatenate([_frames(xr, b, p, nf), _frames(xi, b, p, nf)],
+                         axis=-1)
+    t = jnp.concatenate([_toeplitz_taps(hr, b), _toeplitz_taps(hi, b)],
+                        axis=0).astype(xr.dtype)
+    y = jnp.einsum("...fc,cb->...fb", fr, t,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(lead + (nf * b,))[..., :n]
 
 
 def fir_init_state(num_taps: int, dtype, batch_shape: tuple = ()) -> jnp.ndarray:

@@ -55,6 +55,22 @@ def fir_sharded(x: jnp.ndarray, taps: jnp.ndarray, axis_name: str,
     return y
 
 
+def fir_fft_sharded(x: jnp.ndarray, h_freq: jnp.ndarray, l: int,
+                    axis_name: str, real_in_real_taps: bool,
+                    tail=None) -> jnp.ndarray:
+    """Overlap-save FFT FIR over a time-sharded stream: each shard's L-sample
+    overlap comes from the left neighbor via ppermute (the reference carries
+    the same overlap between its FFT blocks, firfilter.lua:392).  The shard
+    length must be a multiple of the frame hop L."""
+    from luaradio_tpu.ops.fir import fir_fft
+    halo = left_halo(x, l, axis_name)
+    if tail is not None:
+        idx = lax.axis_index(axis_name)
+        halo = jnp.where(idx == 0, tail.astype(halo.dtype), halo)
+    y, _ = fir_fft(x, h_freq, halo, real_in_real_taps)
+    return y
+
+
 def discriminator_sharded(x: jnp.ndarray, gain: float,
                           axis_name: str) -> jnp.ndarray:
     """Frequency discriminator with a 1-sample halo
@@ -110,5 +126,6 @@ def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return local + prefix[..., None]
 
 
-__all__ = ["left_halo", "fir_sharded", "discriminator_sharded",
-           "linrec_first_order_sharded", "cumsum_sharded"]
+__all__ = ["left_halo", "fir_sharded", "fir_fft_sharded",
+           "discriminator_sharded", "linrec_first_order_sharded",
+           "cumsum_sharded"]

@@ -164,3 +164,26 @@ def test_wbfm_mono_bank_2d_mesh_streaming():
         dee = scipy.signal.lfilter(b.astype(np.float64), [1.0, a1], f)
         exp = dee[::D].astype(np.float32)
         assert np.max(np.abs(got[c] - exp)) < 2e-4, f"channel {c}"
+
+
+def test_fir_fft_sharded_matches_serial(time_mesh):
+    from luaradio_tpu.ops.fir import (fft_frame_length, fir_fft,
+                                      fir_fft_freq_taps, fir_fft_init_state)
+    from luaradio_tpu.parallel.time import fir_fft_sharded
+
+    taps = RNG.standard_normal(129).astype(np.float32)
+    l = fft_frame_length(129, min_l=512)
+    hf = jnp.asarray(fir_fft_freq_taps(taps, l, False))
+    n = 8 * l * 4
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+         ).astype(np.complex64)
+
+    @partial(shard_map, mesh=time_mesh, in_specs=(P("time"), P(None)),
+             out_specs=P("time"), check_vma=False)
+    def f(xs, h):
+        return fir_fft_sharded(xs, h, l, "time", False)
+
+    y = np.asarray(jax.jit(f)(jnp.asarray(x), hf))
+    exp, _ = fir_fft(jnp.asarray(x), hf,
+                     fir_fft_init_state(l, np.complex64), False)
+    assert np.max(np.abs(y - np.asarray(exp))) < 1e-3
