@@ -31,7 +31,7 @@ def main():
 
     from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
 
-    channels, t = 8, 1 << 20  # 8 channels x 1M complex samples per step
+    channels, t = 8, 1 << 22  # 8 channels x 4M complex samples per step
     step, init_state = make_wbfm_mono_step(if_rate=256e3, decimation=8)
 
     def chain(state, x):

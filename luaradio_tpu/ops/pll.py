@@ -25,7 +25,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_K = 512  # samples per grid block
+_K = 128  # samples per grid block (fully unrolled in the kernel)
 
 
 def _atan(x):
@@ -122,7 +122,7 @@ def _pll_kernel(alpha, beta, fmin, fmax, mult, k,
 
     final = lax.fori_loop(
         0, k, body, (carry_ref[0], carry_ref[1], carry_ref[2], carry_ref[3],
-                     carry_ref[4]))
+                     carry_ref[4]), unroll=k)
     for j in range(5):
         carry_ref[j] = final[j]
     state_out_ref[0] = _atan2(final[1], final[0])

@@ -13,14 +13,14 @@ RNG = np.random.default_rng(77)
 
 
 def _make_fm_capture(path, rate=1102500.0, tone=1200.0, seconds=0.12):
-    """Mono broadcast-FM capture at +250 kHz offset (the app tunes -250k)."""
+    """Mono broadcast-FM capture at baseband (iqfile tune offset is 0)."""
     n = int(rate * seconds)
     t = np.arange(n) / rate
     audio = 0.8 * np.sin(2 * np.pi * tone * t)
     phi = 2 * np.pi * 75e3 * np.cumsum(audio) / rate
-    baseband = np.exp(1j * phi)
-    carrier = np.exp(1j * 2 * np.pi * 250e3 * t)  # station at +tune_offset
-    iq = (baseband * carrier).astype(np.complex64)
+    # the iqfile input's default tune offset is 0, so the station sits at
+    # baseband in the capture
+    iq = np.exp(1j * phi).astype(np.complex64)
     with open(path, "wb") as f:
         f.write(format_utils.complex_to_bytes(
             iq, format_utils.get_format("f32le")))
@@ -86,3 +86,45 @@ def test_cli_version_and_errors(capsys):
         main(["-a", "rx_nope", "-i", "iqfile:x", "-o", "print"])
     with pytest.raises(SystemExit):
         main(["-a", "rx_wbfm"])  # missing -i/-o
+
+
+def test_rx_wbfm_stereo_app(tmp_path):
+    """Stereo MPX: L=1 kHz tone, R=400 Hz tone, 19 kHz pilot; the stereo
+    matrix must separate the channels."""
+    rate = 1102500.0
+    n = int(rate * 0.25)
+    t = np.arange(n) / rate
+    left = 0.4 * np.sin(2 * np.pi * 1000.0 * t)
+    right = 0.4 * np.sin(2 * np.pi * 400.0 * t)
+    # cosine-referenced pilot and 38 kHz subcarrier (broadcast convention:
+    # the subcarrier is the doubled pilot in phase)
+    pilot = 0.1 * np.cos(2 * np.pi * 19e3 * t)
+    sub = (left - right) * np.cos(2 * np.pi * 38e3 * t)
+    mpx = (left + right) + pilot + sub
+    phi = 2 * np.pi * 75e3 * np.cumsum(mpx) / rate
+    iq = np.exp(1j * phi).astype(np.complex64)  # station at baseband
+    cap = str(tmp_path / "st.iq")
+    wav = str(tmp_path / "st.wav")
+    with open(cap, "wb") as f:
+        f.write(format_utils.complex_to_bytes(
+            iq, format_utils.get_format("f32le")))
+
+    rc = main(["-a", "rx_wbfm", "-i", f"iqfile:{cap},rate={rate:.0f}",
+               "-o", f"wavfile:{wav}", "100e6"])
+    assert rc == 0
+    import wave
+    w = wave.open(wav)
+    assert w.getnchannels() == 2
+    pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    pcm = pcm.reshape(-1, 2) / 32767.5
+    assert len(pcm) > 8000
+    seg = slice(4096, 4096 + 4096)
+
+    def tone_power(ch, freq):
+        spec = np.abs(np.fft.rfft(pcm[seg, ch] * np.hanning(4096)))
+        idx = int(round(freq * 4096 / 44100))
+        return spec[max(0, idx - 2):idx + 3].max()
+
+    # left channel: 1 kHz dominant over 400 Hz; right channel: vice versa
+    assert tone_power(0, 1000) > 3 * tone_power(0, 400)
+    assert tone_power(1, 400) > 3 * tone_power(1, 1000)
