@@ -171,31 +171,46 @@ class Runner:
             self.stage_plan.append((seg, host))
 
         self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
+
+        # Pipelined pumping: when no device block consumes a host block's
+        # output, all device segments for chunk k can be dispatched
+        # (asynchronously) before the host tail of chunk k-1 is processed —
+        # the host-side fetch of one chunk overlaps the device compute of
+        # the next.  Mid-graph host stages feeding device blocks force
+        # lockstep order.
+        self.pipelined = all(
+            c.block.domain != "device"
+            for (_, hosts) in self.stage_plan for h in hosts
+            for oi in range(len(h.outputs))
+            for c in g.consumers(PortRef(h, oi)))
+
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.running = False
         self.chunks_processed = 0
 
     # ------------------------------------------------------------------
-    def _pump_once(self) -> bool:
-        """Process one chunk through the whole graph.  Returns False at EOF."""
-        import jax.numpy as jnp
-
+    def _read_sources(self):
+        """Read one chunk from every host source.  Returns (values, nvalid,
+        eof) or None when the stream ended before this chunk."""
         g = self.graph
         values: dict[str, Any] = {}
         nvalid: dict[str, int] = {}
         eof = False
-
-        # 1. read host sources (padding the final partial chunk to keep
-        #    shapes static — reference semantics end the stream at EOF).
+        # padding keeps shapes static on the final partial chunk —
+        # reference semantics end the stream at EOF
         for s in self.sources:
             want = g.out_chunk[id(s)]
             data = s.read(want)
             if data is None:
-                return False
+                return None
             if not isinstance(data, tuple):
                 data = (data,)
             for oi, arr in enumerate(data):
+                if isinstance(arr, list):
+                    values[f"{self.bid[id(s)]}.{oi}"] = arr
+                    nvalid[f"{self.bid[id(s)]}.{oi}"] = len(arr)
+                    continue
                 arr = np.asarray(arr)
                 nv = len(arr)
                 if nv < want:
@@ -204,67 +219,104 @@ class Runner:
                     arr = np.concatenate([arr, pad])
                 values[f"{self.bid[id(s)]}.{oi}"] = arr
                 nvalid[f"{self.bid[id(s)]}.{oi}"] = nv
-        if any(nvalid.get(f"{self.bid[id(s)]}.0", 1) == 0 for s in self.sources):
-            return False
+        if any(nvalid.get(f"{self.bid[id(s)]}.0", 1) == 0
+               for s in self.sources):
+            return None
+        return values, nvalid, eof
 
-        # 2. run stages
+    def _run_segment(self, seg: Segment, values, nvalid):
+        import jax.numpy as jnp
+
+        g = self.graph
+        ext = {k: jnp.asarray(host_to_payload(values[k]))
+               if isinstance(values[k], np.ndarray) else values[k]
+               for k in seg.ext_keys}
+        outs = seg.run(ext)
+        values.update(outs)
+        for b in seg.blocks:
+            k = self.bid[id(b)]
+            nin = min((nvalid.get(f"{self.bid[id(g.edges[PortRef(b, i)].block)]}"
+                                  f".{g.edges[PortRef(b, i)].index}",
+                                  g.in_chunk[id(b)])
+                       for i in range(len(b.inputs))),
+                      default=g.out_chunk[id(b)])
+            if b.inputs:
+                nvalid[f"{k}.0"] = b.out_count(nin)
+                for oi in range(1, len(b.outputs)):
+                    nvalid[f"{k}.{oi}"] = nvalid[f"{k}.0"]
+
+    def _run_hosts(self, host_blocks, values, nvalid):
+        g = self.graph
+        for b in host_blocks:
+            ins = []
+            for i in range(len(b.inputs)):
+                src = g.edges[PortRef(b, i)]
+                sk = f"{self.bid[id(src.block)]}.{src.index}"
+                if isinstance(b, SinkBlock) and not b.wants_data:
+                    ins.append(values[sk])
+                    continue
+                masked = getattr(src.block, "masked_output", False)
+                t = src.block.output_types[src.index]
+                cplx = t is not None and t.dtype.kind == "c"
+                ins.append(_to_host(values[sk], nvalid.get(sk), masked,
+                                    cplx))
+            outs = b.process(*ins)
+            if outs is not None:
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                k = self.bid[id(b)]
+                for oi, y in enumerate(outs):
+                    values[f"{k}.{oi}"] = y
+                    try:
+                        nvalid[f"{k}.{oi}"] = len(y)
+                    except TypeError:
+                        pass
+
+    def _pump_once(self) -> bool:
+        """Lockstep: one chunk through the whole graph.  False at EOF."""
+        chunk = self._read_sources()
+        if chunk is None:
+            return False
+        values, nvalid, eof = chunk
         for seg, host_blocks in self.stage_plan:
             if seg is not None:
-                ext = {k: jnp.asarray(host_to_payload(values[k]))
-                       if isinstance(values[k], np.ndarray) else values[k]
-                       for k in seg.ext_keys}
-                outs = seg.run(ext)
-                values.update(outs)
-                for b in seg.blocks:
-                    k = self.bid[id(b)]
-                    nin = min((nvalid.get(f"{self.bid[id(g.edges[PortRef(b, i)].block)]}"
-                                          f".{g.edges[PortRef(b, i)].index}",
-                                          g.in_chunk[id(b)])
-                               for i in range(len(b.inputs))),
-                              default=g.out_chunk[id(b)])
-                    if b.inputs:
-                        nvalid[f"{k}.0"] = b.out_count(nin)
-                        for oi in range(1, len(b.outputs)):
-                            nvalid[f"{k}.{oi}"] = nvalid[f"{k}.0"]
-            for b in host_blocks:
-                ins = []
-                for i in range(len(b.inputs)):
-                    src = g.edges[PortRef(b, i)]
-                    sk = f"{self.bid[id(src.block)]}.{src.index}"
-                    if isinstance(b, SinkBlock) and not b.wants_data:
-                        ins.append(values[sk])
-                        continue
-                    masked = getattr(src.block, "masked_output", False)
-                    t = src.block.output_types[src.index]
-                    cplx = t is not None and t.dtype.kind == "c"
-                    ins.append(_to_host(values[sk], nvalid.get(sk), masked,
-                                        cplx))
-                outs = b.process(*ins)
-                if outs is not None:
-                    if not isinstance(outs, tuple):
-                        outs = (outs,)
-                    k = self.bid[id(b)]
-                    for oi, y in enumerate(outs):
-                        values[f"{k}.{oi}"] = y
-                        try:
-                            nvalid[f"{k}.{oi}"] = len(y)
-                        except TypeError:
-                            pass
+                self._run_segment(seg, values, nvalid)
+            self._run_hosts(host_blocks, values, nvalid)
         self.chunks_processed += 1
         return not eof
+
+    def _dispatch_chunk(self):
+        """Pipelined phase 1: sources + all device segments (async)."""
+        chunk = self._read_sources()
+        if chunk is None:
+            return None
+        values, nvalid, eof = chunk
+        for seg, _ in self.stage_plan:
+            if seg is not None:
+                self._run_segment(seg, values, nvalid)
+        return values, nvalid, eof
+
+    def _finish_chunk(self, values, nvalid):
+        """Pipelined phase 2: the host tail (forces device fetches)."""
+        for _, host_blocks in self.stage_plan:
+            self._run_hosts(host_blocks, values, nvalid)
+        self.chunks_processed += 1
 
     def run(self, max_chunks: int | None = None):
         import jax
 
         self.running = True
         try:
-            n = 0
-            while not self._stop.is_set():
-                if not self._pump_once():
-                    break
-                n += 1
-                if max_chunks is not None and n >= max_chunks:
-                    break
+            if self.pipelined and self.mode == "fused":
+                self._run_pipelined(max_chunks)
+            else:
+                n = 0
+                while not self._stop.is_set():
+                    if not self._pump_once():
+                        break
+                    n += 1
+                    if max_chunks is not None and n >= max_chunks:
+                        break
             # Drain the async dispatch queue before cleanup.
             for seg, _ in self.stage_plan:
                 if seg is not None:
@@ -273,6 +325,22 @@ class Runner:
             self.running = False
             for b in self.graph.order:
                 b.cleanup()
+
+    def _run_pipelined(self, max_chunks: int | None):
+        pending = None
+        n = 0
+        while not self._stop.is_set():
+            cur = self._dispatch_chunk()
+            if pending is not None:
+                self._finish_chunk(pending[0], pending[1])
+            pending = cur
+            if cur is None:
+                break
+            n += 1
+            if cur[2] or (max_chunks is not None and n >= max_chunks):
+                break
+        if pending is not None:
+            self._finish_chunk(pending[0], pending[1])
 
     # -- threaded start/wait/stop (reference composite.lua:534,886,913) ----
     def start(self):
