@@ -235,46 +235,44 @@ class RootRaisedCosineFilterBlock(_DesignedFIRBlock):
 
 
 class PulseMatchedFilterBlock(_DesignedFIRBlock):
-    """Matched filter for a rectangular pulse of one symbol period
-    (reference: pulsematchedfilter.lua)."""
+    """Matched filter for a rectangular one-symbol pulse: symbol_period taps
+    of +1 (-1 when inverted), exactly the reference's tap vector
+    (pulsematchedfilter.lua)."""
 
-    def __init__(self, symbol_rate: float, invert: bool = False):
-        self._symbol_rate = symbol_rate
+    def __init__(self, baudrate: float, invert: bool = False):
+        self.baudrate = baudrate
         self._invert = invert
         super().__init__(num_taps=1)
 
     def design_taps(self):
-        n = max(1, int(round(self.get_rate() / self._symbol_rate)))
-        scale = -1.0 if self._invert else 1.0
-        return np.full(n, scale / n, dtype=np.float64)
+        n = max(1, int(self.get_rate() / self.baudrate))
+        return np.full(n, -1.0 if self._invert else 1.0, dtype=np.float64)
 
     def initialize(self):
-        n = max(1, int(round(self.get_rate() / self._symbol_rate)))
+        n = max(1, int(self.get_rate() / self.baudrate))
         self.num_taps = n
         self.taps = np.zeros(n, dtype=np.float32)
         super().initialize()
 
 
 class ManchesterMatchedFilterBlock(_DesignedFIRBlock):
-    """Matched filter for a Manchester-coded transition (-1 first half, +1
-    second half of the symbol period; reference:
-    manchestermatchedfilter.lua)."""
+    """Matched filter for a Manchester transition: symbol_period taps of -1
+    followed by symbol_period taps of +1 (swapped when inverted), exactly
+    the reference's tap vector (manchestermatchedfilter.lua:11-23)."""
 
-    def __init__(self, symbol_rate: float, invert: bool = False):
-        self._symbol_rate = symbol_rate
+    def __init__(self, baudrate: float, invert: bool = False):
+        self.baudrate = baudrate
         self._invert = invert
         super().__init__(num_taps=2)
 
     def design_taps(self):
-        half = max(1, int(round(self.get_rate() / (2 * self._symbol_rate))))
-        n = 2 * half
-        scale = -1.0 if self._invert else 1.0
-        taps = np.concatenate([-np.ones(half), np.ones(half)]) * (scale / n)
-        return taps[::-1]  # matched filter = time-reversed pulse
+        sp = max(1, int(self.get_rate() / self.baudrate))
+        first = 1.0 if self._invert else -1.0
+        return np.concatenate([np.full(sp, first), np.full(sp, -first)])
 
     def initialize(self):
-        half = max(1, int(round(self.get_rate() / (2 * self._symbol_rate))))
-        self.num_taps = 2 * half
+        sp = max(1, int(self.get_rate() / self.baudrate))
+        self.num_taps = 2 * sp
         self.taps = np.zeros(self.num_taps, dtype=np.float32)
         super().initialize()
 

@@ -186,3 +186,34 @@ def test_hilbert_transform():
     sl = slice(2 * ntaps, N - 2 * ntaps)
     err = np.abs(y[sl] - expected[sl])
     assert np.max(err) < 0.02
+
+
+def test_pulse_matched_filter():
+    """Reference semantics: symbol_period taps of +-1
+    (pulsematchedfilter.lua)."""
+    from luaradio_tpu import PulseMatchedFilterBlock
+    x = fvec(1024)
+    rate, baud = 8.0, 1.0  # 8 samples/symbol
+    blk = prepare_block(PulseMatchedFilterBlock(baud),
+                        [__import__("luaradio_tpu").Float32], rate=rate)
+    assert np.array_equal(blk.taps, np.ones(8, np.float32))
+    y = run_block(blk, [x], splits=(100, 500))[0]
+    exp = scipy.signal.lfilter(np.ones(8), [1.0], x.astype(np.float64))
+    assert np.max(np.abs(y - exp)) < 1e-4
+
+
+def test_manchester_matched_filter():
+    """Reference semantics: sp taps of -1 then sp taps of +1
+    (manchestermatchedfilter.lua)."""
+    from luaradio_tpu import ManchesterMatchedFilterBlock
+    x = fvec(1024)
+    rate, baud = 8.0, 2.0  # sp = 4
+    blk = prepare_block(ManchesterMatchedFilterBlock(baud),
+                        [__import__("luaradio_tpu").Float32], rate=rate)
+    assert np.array_equal(blk.taps,
+                          np.concatenate([-np.ones(4), np.ones(4)]
+                                         ).astype(np.float32))
+    y = run_block(blk, [x], splits=(64, 300))[0]
+    taps = np.concatenate([-np.ones(4), np.ones(4)])
+    exp = scipy.signal.lfilter(taps, [1.0], x.astype(np.float64))
+    assert np.max(np.abs(y - exp)) < 1e-4
