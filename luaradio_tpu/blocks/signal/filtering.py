@@ -60,13 +60,17 @@ class FIRFilterBlock(SignalBlock):
             self._h_freq = fir_ops.fir_fft_freq_taps(self.taps, self._l,
                                                      self._real_fft)
 
+    def _designed_num_taps(self) -> int:
+        """Tap count after initialize(); overridden by design wrappers whose
+        tap count depends on the propagated rate (the chunk planner runs
+        before initialize)."""
+        return len(self.taps)
+
     def chunk_multiple(self) -> int:
-        if self.use_fft is None:
-            m = len(self.taps)
-            use_fft = m > self.FFT_THRESHOLD
-        else:
-            use_fft = self.use_fft
-        return fir_ops.fft_frame_length(len(self.taps)) if use_fft else 1
+        m = self._designed_num_taps()
+        use_fft = m > self.FFT_THRESHOLD if self.use_fft is None \
+            else self.use_fft
+        return fir_ops.fft_frame_length(m) if use_fft else 1
 
     def init_state(self):
         dtype = self.get_input_type().dtype
@@ -121,6 +125,9 @@ class _DesignedFIRBlock(FIRFilterBlock):
                        else np.zeros(num_taps, dtype=np.float32))
         super().__init__(placeholder, use_fft=use_fft)
         self.num_taps = num_taps
+
+    def _designed_num_taps(self) -> int:
+        return self.num_taps
 
     def design_taps(self) -> np.ndarray:
         raise NotImplementedError
@@ -248,6 +255,9 @@ class PulseMatchedFilterBlock(_DesignedFIRBlock):
         n = max(1, int(self.get_rate() / self.baudrate))
         return np.full(n, -1.0 if self._invert else 1.0, dtype=np.float64)
 
+    def _designed_num_taps(self) -> int:
+        return max(1, int(self.get_rate() / self.baudrate))
+
     def initialize(self):
         n = max(1, int(self.get_rate() / self.baudrate))
         self.num_taps = n
@@ -269,6 +279,9 @@ class ManchesterMatchedFilterBlock(_DesignedFIRBlock):
         sp = max(1, int(self.get_rate() / self.baudrate))
         first = 1.0 if self._invert else -1.0
         return np.concatenate([np.full(sp, first), np.full(sp, -first)])
+
+    def _designed_num_taps(self) -> int:
+        return 2 * max(1, int(self.get_rate() / self.baudrate))
 
     def initialize(self):
         sp = max(1, int(self.get_rate() / self.baudrate))
