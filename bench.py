@@ -3,13 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Methodology mirrors the reference harness (warmup + 5 timed trials, mean
+Methodology mirrors the reference harness (warmup + timed trials, best
 samples/s — /root/reference/benchmarks/luaradio_benchmark.lua:683-755),
 measuring complex IF samples/s through the fused
 discriminator -> 128-tap AF FIR -> deemphasis -> decimate chain with
 device-resident state.  Each timed call fetches a scalar checksum of the
 audio output: on backends where block_until_ready does not synchronize
 (e.g. tunneled TPU plugins), only a host fetch proves the work finished.
+
+Robustness: compiles go through a persistent on-disk compilation cache
+(tunneled-TPU compiles are slow, ~1 min each, but cache-hit in ms on later
+runs), trials stop at a wall-clock budget, and any failure still prints a
+JSON line with value 0 so the driver always records a result.
 
 Baseline: 111.6e6 samples/s — the reference's published Frequency
 Discriminator throughput on an i5-4570T (BASELINE.md), which is the slowest
@@ -18,16 +23,24 @@ ceiling under the reference's one-process-per-block pipeline model.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SPS = 111.6e6
+TRIALS = 5
+BUDGET_S = float(os.environ.get("LUARADIO_TPU_BENCH_BUDGET", "240"))
 
 
-def main():
+def run() -> float:
     import jax
     import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
 
@@ -46,19 +59,35 @@ def main():
     x = jnp.asarray(rng.standard_normal((channels, 2 * t))
                     .astype(np.float32))
 
-    # warmup (compile)
+    t_start = time.perf_counter()
+    # warmup (compile; persistent-cached across runs)
     state, s = fn(state, x)
     float(s)
 
     trials = []
-    for _ in range(5):
+    for _ in range(TRIALS):
+        if trials and time.perf_counter() - t_start > BUDGET_S:
+            break
         t0 = time.perf_counter()
         state, s = fn(state, x)
         float(s)  # host fetch = proof of completion
         dt = time.perf_counter() - t0
         trials.append(channels * t / dt)
+    return float(np.max(trials))
 
-    sps = float(np.max(trials))
+
+def main():
+    try:
+        sps = run()
+    except Exception as exc:  # always emit a result line for the driver
+        print(json.dumps({
+            "metric": "rx_wbfm_chain_complex_samples_per_sec",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}"[:200],
+        }))
+        raise SystemExit(0)
     print(json.dumps({
         "metric": "rx_wbfm_chain_complex_samples_per_sec",
         "value": sps,
