@@ -31,6 +31,7 @@ import numpy as np
 from luaradio_tpu.core.block import (Block, HostBlock, HostSourceBlock,
                                      SignalBlock, SignalSourceBlock, SinkBlock)
 from luaradio_tpu.core.composite import CompositeBlock, Graph, PortRef
+from luaradio_tpu.core import trace as trace_mod
 from luaradio_tpu.ops.complexutil import (host_to_payload, pack_complex,
                                           payload_to_host, unpack_complex)
 
@@ -153,9 +154,12 @@ class Segment:
 
 class Runner:
     def __init__(self, top: CompositeBlock, mode: str = "fused",
-                 chunk_size: int | None = None):
+                 chunk_size: int | None = None, trace: bool | None = None):
         self.graph = Graph(top, chunk_size=chunk_size)
         self.mode = mode
+        if trace is None:
+            trace = trace_mod.enabled_by_env()
+        self.tracer = trace_mod.Tracer() if trace else None
         g = self.graph
         self.bid = {id(b): f"b{i}" for i, b in enumerate(g.order)}
 
@@ -274,32 +278,42 @@ class Runner:
 
     def _pump_once(self) -> bool:
         """Lockstep: one chunk through the whole graph.  False at EOF."""
-        chunk = self._read_sources()
+        chunk = self._traced("sources.read", self._read_sources)
         if chunk is None:
             return False
         values, nvalid, eof = chunk
-        for seg, host_blocks in self.stage_plan:
+        for i, (seg, host_blocks) in enumerate(self.stage_plan):
             if seg is not None:
-                self._run_segment(seg, values, nvalid)
-            self._run_hosts(host_blocks, values, nvalid)
+                self._traced(f"segment[{i}].dispatch", self._run_segment,
+                             seg, values, nvalid)
+            self._traced(f"host[{i}].process", self._run_hosts,
+                         host_blocks, values, nvalid)
         self.chunks_processed += 1
         return not eof
 
+    def _traced(self, name, fn, *args):
+        if self.tracer is None:
+            return fn(*args)
+        with self.tracer.span(name):
+            return fn(*args)
+
     def _dispatch_chunk(self):
         """Pipelined phase 1: sources + all device segments (async)."""
-        chunk = self._read_sources()
+        chunk = self._traced("sources.read", self._read_sources)
         if chunk is None:
             return None
         values, nvalid, eof = chunk
-        for seg, _ in self.stage_plan:
+        for i, (seg, _) in enumerate(self.stage_plan):
             if seg is not None:
-                self._run_segment(seg, values, nvalid)
+                self._traced(f"segment[{i}].dispatch", self._run_segment,
+                             seg, values, nvalid)
         return values, nvalid, eof
 
     def _finish_chunk(self, values, nvalid):
         """Pipelined phase 2: the host tail (forces device fetches)."""
-        for _, host_blocks in self.stage_plan:
-            self._run_hosts(host_blocks, values, nvalid)
+        for i, (_, host_blocks) in enumerate(self.stage_plan):
+            self._traced(f"host[{i}].process", self._run_hosts,
+                         host_blocks, values, nvalid)
         self.chunks_processed += 1
 
     def run(self, max_chunks: int | None = None):
