@@ -200,9 +200,13 @@ class CompositeBlock(Block):
         return self
 
     def status(self) -> dict:
+        """Reference composite.lua:858 reports {running}; the TPU runtime
+        additionally exposes any captured block exception (a crashed block
+        collapses the graph — see Runner.wait())."""
         if self._runner is None:
             return {"running": False}
-        return {"running": self._runner.running}
+        return {"running": self._runner.running,
+                "error": self._runner.error}
 
 
 class Graph:

@@ -192,6 +192,8 @@ class Runner:
         self._thread: threading.Thread | None = None
         self.running = False
         self.chunks_processed = 0
+        self.error: BaseException | None = None
+        self._cleaned_up = False
 
     # ------------------------------------------------------------------
     def _read_sources(self):
@@ -317,6 +319,10 @@ class Runner:
         self.chunks_processed += 1
 
     def run(self, max_chunks: int | None = None):
+        """Run to EOF (or error).  A block exception collapses the graph and
+        propagates — the analog of the reference's child-crash supervision
+        (/root/reference/radio/core/composite.lua:773-847): any block death
+        tears the whole graph down and surfaces from run()/wait()."""
         import jax
 
         self.running = True
@@ -335,10 +341,28 @@ class Runner:
             for seg, _ in self.stage_plan:
                 if seg is not None:
                     jax.block_until_ready(seg.states)
+        except BaseException as exc:
+            self.error = exc
+            raise
         finally:
             self.running = False
-            for b in self.graph.order:
+            self._cleanup_once()
+
+    def _cleanup_once(self):
+        """cleanup() every block exactly once, even if run() is re-entered or
+        a cleanup itself raises mid-way (remaining blocks still cleaned)."""
+        if self._cleaned_up:
+            return
+        self._cleaned_up = True
+        first_err = None
+        for b in self.graph.order:
+            try:
                 b.cleanup()
+            except BaseException as exc:  # noqa: BLE001 — keep cleaning
+                if first_err is None:
+                    first_err = exc
+        if first_err is not None and self.error is None:
+            raise first_err
 
     def _run_pipelined(self, max_chunks: int | None):
         pending = None
@@ -358,18 +382,30 @@ class Runner:
 
     # -- threaded start/wait/stop (reference composite.lua:534,886,913) ----
     def start(self):
-        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread = threading.Thread(target=self._thread_main, daemon=True)
         self.running = True
         self._thread.start()
+
+    def _thread_main(self):
+        try:
+            self.run()
+        except BaseException:  # noqa: BLE001 — surfaced via wait()/status()
+            pass  # self.error holds it; re-raised from wait()
 
     def stop(self):
         self._stop.set()
         self.wait()
 
     def wait(self):
+        """Join the pump thread; re-raise any block exception here (the
+        reference surfaces child crashes from wait() —
+        /root/reference/tests/top_spec.lua:82-106)."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
 
 
 __all__ = ["Runner", "Segment"]

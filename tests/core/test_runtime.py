@@ -138,3 +138,60 @@ def test_benchmark_sink_json(tmp_path):
     rec = json.loads(buf.getvalue())
     assert rec["samples_per_second"] > 0
     assert rec["bytes_per_second"] == rec["samples_per_second"] * 8
+
+
+def test_crash_in_thread_surfaces_from_wait():
+    """A block crash inside the pump thread must collapse the graph and
+    re-raise from wait() — analog of the reference's child-exit supervision
+    (/root/reference/tests/top_spec.lua:82-106)."""
+    calls = {"cleanup": 0}
+
+    class CrashingSource(RawFileSource):
+        def __init__(self):
+            import io
+            super().__init__(io.BytesIO(b"\0" * 64), ComplexFloat32, 1.0)
+
+        def read(self, n):
+            raise RuntimeError("thread crash")
+
+        def cleanup(self):
+            calls["cleanup"] += 1
+            super().cleanup()
+
+    top = CompositeBlock()
+    top.connect(CrashingSource(), NopSink())
+    top.start()
+    with pytest.raises(RuntimeError, match="thread crash"):
+        top.wait()
+    assert not top.status()["running"]
+    assert calls["cleanup"] == 1  # cleanup exactly once
+
+
+def test_crash_midstream_surfaces_and_cleans_up(tmp_path):
+    """Crash after a few good chunks: wait() raises, downstream sink is
+    cleaned up exactly once."""
+    cleanups = []
+
+    class FlakySource(RawFileSource):
+        def __init__(self):
+            import io
+            super().__init__(io.BytesIO(b"\0" * (8 * 1 << 20)),
+                             ComplexFloat32, 1e6)
+            self.n_reads = 0
+
+        def read(self, n):
+            self.n_reads += 1
+            if self.n_reads > 3:
+                raise ValueError("flaky after 3 chunks")
+            return super().read(n)
+
+    class CountingSink(NopSink):
+        def cleanup(self):
+            cleanups.append(1)
+
+    top = CompositeBlock()
+    top.connect(FlakySource(), CountingSink())
+    top.start(chunk_size=4096)
+    with pytest.raises(ValueError, match="flaky after 3 chunks"):
+        top.wait()
+    assert sum(cleanups) == 1
