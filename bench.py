@@ -1,23 +1,32 @@
 """Benchmark: flagship rx_wbfm mono receiver chain throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "runner_samples_per_sec": N, "runner_vs_baseline": N}
 
-Methodology mirrors the reference harness (warmup + timed trials, best
-samples/s — /root/reference/benchmarks/luaradio_benchmark.lua:683-755),
-measuring complex IF samples/s through the fused
-discriminator -> 128-tap AF FIR -> deemphasis -> decimate chain with
-device-resident state.  Each timed call fetches a scalar checksum of the
-audio output: on backends where block_until_ready does not synchronize
-(e.g. tunneled TPU plugins), only a host fetch proves the work finished.
+value / vs_baseline: the fused flagship step (parallel/flagship.py) —
+deinterleave (MXU matmul) -> discriminator (conj-mul + atan2) -> decimating
+FIR with folded deemphasis (banded-Toeplitz MXU matmul) — over an
+8-channel x 4M-sample device-resident batch.
 
-Robustness: compiles go through a persistent on-disk compilation cache
-(tunneled-TPU compiles are slow, ~1 min each, but cache-hit in ms on later
-runs), trials stop at a wall-clock budget, and any failure still prints a
-JSON line with value 0 so the driver always records a result.
+runner_*: the SAME chain built from ordinary blocks (NullSource ->
+WBFMMonoDemodulator -> Downsampler -> BenchmarkSink) executed through the
+real CompositeBlock/Runner pipeline, graph optimizer on — i.e. framework
+overhead included (reference methodology:
+/root/reference/benchmarks/luaradio_benchmark.lua:683-755).
+
+Methodology note: this TPU is reached through a tunneled PJRT transport
+with ~80 ms per host fetch, and block_until_ready does not synchronize —
+so each trial dispatches a CHAIN of K steps and fetches one scalar at the
+end (K calibrated so the fetch RTT is <2% of the trial).  Round 1 timed
+one fetch per step and under-reported by ~2.2x.
+
+Robustness: compiles go through a persistent on-disk compilation cache,
+trials stop at a wall-clock budget, and any failure still prints a JSON
+line with value 0 so the driver always records a result.
 
 Baseline: 111.6e6 samples/s — the reference's published Frequency
-Discriminator throughput on an i5-4570T (BASELINE.md), which is the slowest
+Discriminator throughput on an i5-4570T (BASELINE.md), the slowest
 published stage of its WBFM chain and therefore the chain's throughput
 ceiling under the reference's one-process-per-block pipeline model.
 """
@@ -29,71 +38,119 @@ import time
 import numpy as np
 
 BASELINE_SPS = 111.6e6
-TRIALS = 5
+TRIALS = 3
 BUDGET_S = float(os.environ.get("LUARADIO_TPU_BENCH_BUDGET", "240"))
+TARGET_TRIAL_S = 3.0
 
 
-def run() -> float:
+def _setup():
     import jax
-    import jax.numpy as jnp
-
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+
+def bench_raw(t_deadline: float) -> float:
+    import jax
+    import jax.numpy as jnp
+
     from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
 
     channels, t = 8, 1 << 22  # 8 channels x 4M complex samples per step
     step, init_state = make_wbfm_mono_step(if_rate=256e3, decimation=8)
-
-    def chain(state, x):
-        st, audio = step(state, x)
-        # scalar checksum: forces the whole chain, costs a 4-byte fetch
-        return st, jnp.sum(audio)
-
-    fn = jax.jit(chain, donate_argnums=(0,))
+    fn = jax.jit(step, donate_argnums=(0,))
 
     state = init_state(channels)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((channels, 2 * t))
                     .astype(np.float32))
 
-    t_start = time.perf_counter()
-    # warmup (compile; persistent-cached across runs)
-    state, s = fn(state, x)
-    float(s)
-
-    trials = []
-    for _ in range(TRIALS):
-        if trials and time.perf_counter() - t_start > BUDGET_S:
-            break
+    def run_chain(state, k):
         t0 = time.perf_counter()
-        state, s = fn(state, x)
-        float(s)  # host fetch = proof of completion
-        dt = time.perf_counter() - t0
-        trials.append(channels * t / dt)
-    return float(np.max(trials))
+        for _ in range(k):
+            state, audio = fn(state, x)
+        float(state[0][0, 0])  # one host fetch = proof of completion
+        return state, time.perf_counter() - t0
+
+    state, _ = run_chain(state, 1)          # warmup / compile
+    state, dt4 = run_chain(state, 4)        # calibrate
+    k = int(min(256, max(8, round(TARGET_TRIAL_S / max(dt4 / 4, 1e-5)))))
+
+    best = 0.0
+    for _ in range(TRIALS):
+        if best and time.perf_counter() > t_deadline:
+            break
+        state, dt = run_chain(state, k)
+        best = max(best, k * channels * t / dt)
+    return best
+
+
+def bench_runner(t_deadline: float) -> float:
+    from luaradio_tpu import (BenchmarkSink, CompositeBlock, DownsamplerBlock,
+                              UniformRandomSource, WBFMMonoDemodulator)
+    from luaradio_tpu.core.runtime import Runner
+    from luaradio_tpu.types import ComplexFloat32
+
+    chunk = 1 << 22
+    top = CompositeBlock()
+    # UniformRandomSource (device threefry), NOT ZeroSource: a zeros input
+    # lets XLA algebraically collapse the whole chain (0 * x == 0), so the
+    # measured number would be fiction.  The RNG cost is included — this
+    # number UNDERSTATES the chain itself.
+    top.connect(UniformRandomSource(ComplexFloat32, 256e3),
+                WBFMMonoDemodulator(tau=75e-6),
+                DownsamplerBlock(8),
+                BenchmarkSink())
+    runner = Runner(top, mode="fused", chunk_size=chunk)
+
+    def drain():
+        for seg, _ in runner.stage_plan:
+            if seg is not None:
+                seg.drain()
+
+    def run_chunks(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            runner._pump_once()
+        drain()
+        return time.perf_counter() - t0
+
+    run_chunks(1)                            # warmup / compile
+    dt4 = run_chunks(4)                      # calibrate
+    k = int(min(256, max(8, round(TARGET_TRIAL_S / max(dt4 / 4, 1e-5)))))
+
+    best = 0.0
+    for _ in range(TRIALS):
+        if best and time.perf_counter() > t_deadline:
+            break
+        dt = run_chunks(k)
+        best = max(best, k * chunk / dt)
+    for b in runner.graph.order:
+        b.cleanup()
+    return best
 
 
 def main():
+    rec = {"metric": "rx_wbfm_chain_complex_samples_per_sec",
+           "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0}
+    t_deadline = time.perf_counter() + BUDGET_S
     try:
-        sps = run()
+        _setup()
+        sps = bench_raw(t_deadline)
+        rec["value"] = sps
+        rec["vs_baseline"] = sps / BASELINE_SPS
     except Exception as exc:  # always emit a result line for the driver
-        print(json.dumps({
-            "metric": "rx_wbfm_chain_complex_samples_per_sec",
-            "value": 0.0,
-            "unit": "samples/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(exc).__name__}: {exc}"[:200],
-        }))
+        rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        print(json.dumps(rec))
         raise SystemExit(0)
-    print(json.dumps({
-        "metric": "rx_wbfm_chain_complex_samples_per_sec",
-        "value": sps,
-        "unit": "samples/s",
-        "vs_baseline": sps / BASELINE_SPS,
-    }))
+    try:
+        rsps = bench_runner(t_deadline)
+        rec["runner_samples_per_sec"] = rsps
+        rec["runner_vs_baseline"] = rsps / BASELINE_SPS
+    except Exception as exc:
+        rec["runner_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

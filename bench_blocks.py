@@ -1,0 +1,355 @@
+"""Per-block benchmark suite, mirroring the reference harness
+(/root/reference/benchmarks/luaradio_benchmark.lua:9-13,636-755): each row
+times ``source -> block-under-test -> BenchmarkSink`` through the real
+Runner and reports samples/s at the block's output, with the reference's
+published i5-4570T numbers (BASELINE.md) as the vs-baseline column.
+
+Usage:
+    python bench_blocks.py [--out BENCH_BLOCKS.json] [--only SUBSTR]
+                           [--duration SECS]
+
+Emits one JSON object per row on stdout and (optionally) an aggregate JSON
+file.  Methodology: one warmup chunk (compile; persistent-cached), then
+timed chunks until ``--duration`` elapses; best-trial samples/s like the
+reference's max-of-trials.  The BenchmarkSink fetches one trailing element
+per chunk, which is the host-side proof of completion on tunneled TPU
+backends.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+CHUNK = 1 << 20
+RNG = np.random.default_rng(12345)
+
+
+def _setup_jax():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _tmpfile(data: bytes) -> str:
+    f = tempfile.NamedTemporaryFile(delete=False, suffix=".bin")
+    f.write(data)
+    f.close()
+    return f.name
+
+
+def _iq_bytes(n: int) -> bytes:
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+         ).astype(np.complex64)
+    return x.tobytes()
+
+
+def _f32_bytes(n: int) -> bytes:
+    return RNG.standard_normal(n).astype(np.float32).tobytes()
+
+
+def benchmarks():
+    """Yield (name, baseline_i5_msps, build) rows.  build() returns
+    (top, block_under_test)."""
+    import luaradio_tpu as lr
+    from luaradio_tpu.types import Bit, Byte, ComplexFloat32, Float32
+
+    C64, F32 = ComplexFloat32, Float32
+    rate = 1e6
+
+    # Block rows feed from UniformRandomSource (device threefry), NOT
+    # NullSource as the reference harness does: on TPU a zeros input lets
+    # XLA algebraically collapse multiplies/filters (0 * x == 0) and the
+    # row would measure nothing.  The RNG cost is fused into the same XLA
+    # program, so every block row UNDERSTATES the block itself — compare
+    # against the "Uniform Random Source" rows for the feeder's own cost.
+    def null_c():
+        return lr.UniformRandomSource(C64, rate)
+
+    def null_f():
+        return lr.UniformRandomSource(F32, rate)
+
+    def rand_f():
+        return lr.UniformRandomSource(F32, rate)
+
+    def rand_bit():
+        return lr.UniformRandomSource(Bit, rate)
+
+    def simple(mk_src, mk_blk):
+        def build():
+            top = lr.CompositeBlock()
+            blk = mk_blk()
+            sink = lr.BenchmarkSink()
+            top.connect(mk_src(), blk, sink)
+            return top, blk
+        return build
+
+    def two_in(mk_src, mk_blk):
+        def build():
+            top = lr.CompositeBlock()
+            blk = mk_blk()
+            s1, s2 = mk_src(), mk_src()
+            top.connect(s1, "out", blk, "in1")
+            top.connect(s2, "out", blk, "in2")
+            top.connect(blk, lr.BenchmarkSink())
+            return top, blk
+        return build
+
+    taps16 = RNG.standard_normal(16).astype(np.float32)
+    taps128 = RNG.standard_normal(128).astype(np.float32)
+    taps256 = RNG.standard_normal(256).astype(np.float32)
+    taps16c = (RNG.standard_normal(16) + 1j * RNG.standard_normal(16)
+               ).astype(np.complex64)
+    taps128c = (RNG.standard_normal(128) + 1j * RNG.standard_normal(128)
+                ).astype(np.complex64)
+
+    def five_fir():
+        top = lr.CompositeBlock()
+        src = lr.UniformRandomSource(C64, rate)
+        blocks = [lr.FIRFilterBlock(taps256, use_fft=True) for _ in range(5)]
+        top.connect(src, *blocks, lr.BenchmarkSink())
+        return top, blocks[-1]
+
+    rows = [
+        ("Five Back to Back FIR Filters (FFT, 256 Real taps, Complex input)",
+         42.6, five_fir),
+        ("Null Source (Complex)", 1357.3,
+         simple(lambda: lr.NullSource(C64, rate), lambda: lr.NopBlock())),
+        ("Null Source (Real)", 2941.9,
+         simple(lambda: lr.NullSource(F32, rate), lambda: lr.NopBlock())),
+        ("Uniform Random Source (Complex)", 93.8,
+         simple(lambda: lr.UniformRandomSource(C64, rate),
+                lambda: lr.NopBlock())),
+        ("Uniform Random Source (Real)", 176.2,
+         simple(rand_f, lambda: lr.NopBlock())),
+        ("Signal Source (Complex Exponential)", 43.5,
+         simple(lambda: lr.SignalSource("exponential", 200e3, rate),
+                lambda: lr.NopBlock())),
+        ("Signal Source (Cosine)", 80.6,
+         simple(lambda: lr.SignalSource("cosine", 200e3, rate),
+                lambda: lr.NopBlock())),
+        ("Signal Source (Square)", 97.1,
+         simple(lambda: lr.SignalSource("square", 200e3, rate),
+                lambda: lr.NopBlock())),
+        ("FIR Filter (16 Real taps, Complex input)", 67.5,
+         simple(null_c, lambda: lr.FIRFilterBlock(taps16, use_fft=False))),
+        ("FIR Filter (16 Real taps, Real input)", 84.7,
+         simple(null_f, lambda: lr.FIRFilterBlock(taps16, use_fft=False))),
+        ("FIR Filter (16 Complex taps, Complex input)", 58.9,
+         simple(null_c, lambda: lr.FIRFilterBlock(taps16c, use_fft=False))),
+        ("FIR Filter (FFT, 128 Real taps, Complex input)", 133.9,
+         simple(null_c, lambda: lr.FIRFilterBlock(taps128, use_fft=True))),
+        ("FIR Filter (FFT, 128 Real taps, Real input)", 141.5,
+         simple(null_f, lambda: lr.FIRFilterBlock(taps128, use_fft=True))),
+        ("FIR Filter (FFT, 128 Complex taps, Complex input)", 132.7,
+         simple(null_c, lambda: lr.FIRFilterBlock(taps128c, use_fft=True))),
+        ("IIR Filter (5 ff 3 fb Real taps, Complex input)", 52.2,
+         simple(null_c, lambda: lr.IIRFilterBlock(
+             np.float32([0.2, 0.2, 0.2, 0.2, 0.2]),
+             np.float32([1.0, 0.1, 0.05])))),
+        ("IIR Filter (5 ff 3 fb Real taps, Real input)", 98.9,
+         simple(null_f, lambda: lr.IIRFilterBlock(
+             np.float32([0.2, 0.2, 0.2, 0.2, 0.2]),
+             np.float32([1.0, 0.1, 0.05])))),
+        ("FM Deemphasis Filter", 139.9,
+         simple(null_f, lambda: lr.FMDeemphasisFilterBlock(75e-6))),
+        ("Downsampler (M = 5), Complex", 144.1,
+         simple(null_c, lambda: lr.DownsamplerBlock(5))),
+        ("Downsampler (M = 5), Real", 253.1,
+         simple(null_f, lambda: lr.DownsamplerBlock(5))),
+        ("Upsampler (L = 3), Complex", 702.6,
+         simple(null_c, lambda: lr.UpsamplerBlock(3))),
+        ("Upsampler (L = 3), Real", 1259.6,
+         simple(null_f, lambda: lr.UpsamplerBlock(3))),
+        ("Frequency Translator", 396.7,
+         simple(null_c, lambda: lr.FrequencyTranslatorBlock(200e3))),
+        ("Hilbert Transform (65 taps)", 67.7,
+         simple(null_f, lambda: lr.HilbertTransformBlock(65))),
+        ("Hilbert Transform (129 taps)", 47.5,
+         simple(null_f, lambda: lr.HilbertTransformBlock(129))),
+        ("Frequency Discriminator", 111.6,
+         simple(null_c, lambda: lr.FrequencyDiscriminatorBlock(1.25))),
+        ("PLL", 5.5,
+         simple(null_c, lambda: lr.PLLBlock(1e3, 200e3, 220e3))),
+        ("Zero Crossing Clock Recovery", 72.0,
+         simple(rand_f, lambda: lr.ZeroCrossingClockRecoveryBlock(1200))),
+        ("Binary Phase Corrector", 54.8,
+         simple(null_c, lambda: lr.BinaryPhaseCorrectorBlock(3000))),
+        ("Add (Complex)", 226.4, two_in(null_c, lambda: lr.AddBlock())),
+        ("Subtract (Complex)", 224.0,
+         two_in(null_c, lambda: lr.SubtractBlock())),
+        ("Multiply (Complex)", 280.6,
+         two_in(null_c, lambda: lr.MultiplyBlock())),
+        ("Multiply (Real)", 608.6, two_in(null_f, lambda: lr.MultiplyBlock())),
+        ("Multiply Conjugate", 291.6,
+         two_in(null_c, lambda: lr.MultiplyConjugateBlock())),
+        ("Multiply Constant (Real constant, Complex input)", 308.6,
+         simple(null_c, lambda: lr.MultiplyConstantBlock(2.5))),
+        ("Multiply Constant (Complex constant, Complex input)", 254.5,
+         simple(null_c, lambda: lr.MultiplyConstantBlock(2.5 + 1j))),
+        ("Multiply Constant (Real constant, Real input)", 570.7,
+         simple(null_f, lambda: lr.MultiplyConstantBlock(2.5))),
+        ("Absolute Value", 647.5,
+         simple(null_f, lambda: lr.AbsoluteValueBlock())),
+        ("Complex Conjugate", 383.4,
+         simple(null_c, lambda: lr.ComplexConjugateBlock())),
+        ("Complex Magnitude", 297.4,
+         simple(null_c, lambda: lr.ComplexMagnitudeBlock())),
+        ("Complex Phase", 130.0,
+         simple(null_c, lambda: lr.ComplexPhaseBlock())),
+        ("Delay (N = 3000, Complex input)", 473.4,
+         simple(null_c, lambda: lr.DelayBlock(3000))),
+        ("Bit Slicer", 92.6, simple(rand_f, lambda: lr.SlicerBlock())),
+        ("Differential Decoder", 157.3,
+         simple(rand_bit, lambda: lr.DifferentialDecoderBlock())),
+        ("Complex to Real", 554.8,
+         simple(null_c, lambda: lr.ComplexToRealBlock())),
+        ("Complex to Imaginary", 555.6,
+         simple(null_c, lambda: lr.ComplexToImagBlock())),
+        ("Float to Complex", 397.7,
+         simple(null_f, lambda: lr.FloatToComplexBlock())),
+    ]
+
+    # File sources need on-disk fixtures large enough not to EOF mid-trial.
+    n_file = 4 << 20
+
+    def iq_file():
+        path = _tmpfile(_iq_bytes(n_file))
+
+        def build():
+            top = lr.CompositeBlock()
+            blk = lr.NopBlock()
+            top.connect(lr.IQFileSource(path, "f32le", rate,
+                                        repeat_on_eof=True),
+                        blk, lr.BenchmarkSink())
+            return top, blk
+        return build
+
+    def real_file():
+        path = _tmpfile(_f32_bytes(n_file))
+
+        def build():
+            top = lr.CompositeBlock()
+            blk = lr.NopBlock()
+            top.connect(lr.RealFileSource(path, "f32le", rate,
+                                          repeat_on_eof=True), blk,
+                        lr.BenchmarkSink())
+            return top, blk
+        return build
+
+    def raw_file():
+        path = _tmpfile(_f32_bytes(n_file))
+
+        def build():
+            top = lr.CompositeBlock()
+            blk = lr.NopBlock()
+            top.connect(lr.RawFileSource(path, Float32, rate,
+                                         repeat_on_eof=True), blk,
+                        lr.BenchmarkSink())
+            return top, blk
+        return build
+
+    rows.insert(1, ("IQ File Source (f32le)", 280.1, iq_file()))
+    rows.insert(2, ("Real File Source (f32le)", 506.4, real_file()))
+    rows.insert(3, ("Raw File Source (float)", 1312.4, raw_file()))
+    return rows
+
+
+def bench_one(name, baseline, build, duration=3.0):
+    """Dispatch K chunks asynchronously, then drain: one device fence per
+    trial, so the high per-fetch RTT of tunneled backends is amortized and
+    the measured number is device throughput, not link latency."""
+    from luaradio_tpu.core.runtime import Runner
+    top, blk = build()
+    runner = Runner(top, mode="fused", chunk_size=CHUNK)
+    n_out = runner.graph.out_chunk[id(blk)]
+    t = blk.get_output_type() if blk.outputs else blk.get_input_type()
+
+    def drain():
+        for seg, _ in runner.stage_plan:
+            if seg is not None:
+                seg.drain()
+
+    pump = runner._pump_once
+    try:
+        if not pump():  # warmup / compile
+            raise RuntimeError("EOF during warmup; fixture too small")
+        drain()
+        # calibrate: chunks per trial so one trial >> fence RTT
+        t0 = time.perf_counter()
+        for _ in range(4):
+            if not pump():
+                raise RuntimeError("EOF during calibration")
+        drain()
+        dt4 = time.perf_counter() - t0
+        k = max(4, min(512, int(4 * max(1.0, 1.0 / max(dt4, 1e-3)))))
+        best = 0.0
+        t_end = time.perf_counter() + duration
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(k):
+                if not pump():
+                    raise RuntimeError("EOF during trial")
+            drain()
+            dt = time.perf_counter() - t0
+            best = max(best, k * n_out / dt)
+            if time.perf_counter() > t_end:
+                break
+    finally:
+        for b in runner.graph.order:
+            b.cleanup()
+    return {"name": name, "samples_per_second": best,
+            "msps": best / 1e6, "baseline_i5_msps": baseline,
+            "vs_baseline": best / 1e6 / baseline,
+            "dtype": t.name if t is not None else "?"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--duration", type=float, default=3.0)
+    args = ap.parse_args()
+    _setup_jax()
+
+    results = []
+    for name, baseline, build in benchmarks():
+        if args.only and args.only.lower() not in name.lower():
+            continue
+        try:
+            rec = bench_one(name, baseline, build, duration=args.duration)
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            rec = {"name": name, "baseline_i5_msps": baseline,
+                   "error": f"{type(exc).__name__}: {exc}"[:300]}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    if args.out:
+        import jax
+        ok = [r for r in results if "error" not in r]
+        agg = {
+            "rows": results,
+            "n_rows": len(results),
+            "n_ok": len(ok),
+            "geomean_vs_baseline": (
+                float(np.exp(np.mean([np.log(r["vs_baseline"])
+                                      for r in ok]))) if ok else 0.0),
+            "platform": jax.devices()[0].platform,
+        }
+        with open(args.out, "w") as f:
+            json.dump(agg, f, indent=1)
+        print(f"wrote {args.out}: {agg['n_ok']}/{agg['n_rows']} rows, "
+              f"geomean vs baseline {agg['geomean_vs_baseline']:.2f}x",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

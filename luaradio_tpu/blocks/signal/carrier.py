@@ -109,6 +109,67 @@ class PLLBlock(SignalBlock):
         return state, (out, err)
 
 
+class PilotRecoveryBlock(SignalBlock):
+    """Vectorized pilot-tone carrier recovery: complex bandpass FIR around
+    the pilot, magnitude normalization (the instantaneous-phase estimator),
+    and integer phase multiplication — out = (bp(x)/|bp(x)|)^multiplier.
+
+    The TPU-native alternative to ComplexBandpassFilterBlock -> PLLBlock
+    for pilot-locked receivers (WBFM stereo 19 kHz -> 38 kHz, RDS 19 kHz ->
+    57 kHz): the PLL is a per-sample feedback loop (the reference's slowest
+    kernel, pll.lua:138-167 / BASELINE.md 5.5 MS/s); this path is pure
+    FIR + elementwise, so it runs at HBM speed AND time-shards across a
+    mesh (parallel/time.py pilot_recovery_sharded).  Equivalent to the PLL
+    within SNR tolerances when the pilot is present: the bandpass sets the
+    noise bandwidth where the PLL's loop filter would.
+
+    No reference analog (the reference has only the PLL,
+    /root/reference/radio/composites/wbfmstereodemodulator.lua:40-42).
+    """
+
+    def __init__(self, num_taps: int, band: tuple, multiplier: int = 1,
+                 nyquist: float | None = None, window: str = "hamming"):
+        super().__init__()
+        if num_taps % 2 == 0:
+            raise ValueError("PilotRecoveryBlock requires odd num_taps")
+        self.num_taps = int(num_taps)
+        self.band = tuple(band)
+        self.multiplier = int(multiplier)
+        self.nyquist = nyquist
+        self.window = window
+        self.add_type_signature([Input("in", ComplexFloat32)],
+                                [Output("out", ComplexFloat32)])
+
+    def initialize(self):
+        from luaradio_tpu.utils import filter_design
+        nyq = self.nyquist or (self.get_rate() / 2.0)
+        self._taps = filter_design.firwin_complex_bandpass(
+            self.num_taps, (self.band[0] / nyq, self.band[1] / nyq),
+            self.window).astype(np.complex64)
+
+    def init_state(self):
+        from luaradio_tpu.ops.fir import fir_init_state
+        return fir_init_state(self.num_taps, jnp.complex64)
+
+    def process(self, state, x):
+        from luaradio_tpu.ops.complexutil import const_complex
+        from luaradio_tpu.ops.fir import fir_direct
+        p, state = fir_direct(x, const_complex(self._taps), state)
+        y = pilot_normalize_multiply(p, self.multiplier)
+        return state, y
+
+
+def pilot_normalize_multiply(p: jnp.ndarray, multiplier: int) -> jnp.ndarray:
+    """(p/|p|)^multiplier, elementwise, safe at p == 0."""
+    mag = jnp.abs(p)
+    u = p / jnp.maximum(mag, np.float32(1e-20)).astype(p.real.dtype)
+    u = jnp.where(mag > 0, u, jnp.ones_like(u))
+    y = u
+    for _ in range(int(multiplier) - 1):
+        y = y * u
+    return y.astype(jnp.complex64)
+
+
 class AGCBlock(SignalBlock):
     """Feed-forward AGC: 1-pole power estimate, 1-pole gain filter toward
     target/power (held below threshold), sqrt-gain applied
@@ -290,6 +351,6 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
 
 
 __all__ = [
-    "PLLBlock", "AGCBlock", "PowerSquelchBlock",
+    "PLLBlock", "PilotRecoveryBlock", "AGCBlock", "PowerSquelchBlock",
     "ZeroCrossingClockRecoveryBlock", "BinaryPhaseCorrectorBlock",
 ]

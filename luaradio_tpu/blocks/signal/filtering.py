@@ -86,6 +86,13 @@ class FIRFilterBlock(SignalBlock):
             y, state = fir_ops.fir_direct(x, const_complex(self.taps), state)
         return state, y
 
+    def fir_equivalent(self):
+        """Graph-optimizer protocol: this block's exact FIR taps (designed
+        with the propagated rate when needed).  See core/optimize.py."""
+        if isinstance(self, _DesignedFIRBlock):
+            return np.asarray(self.design_taps())
+        return np.asarray(self.taps)
+
 
 class IIRFilterBlock(SignalBlock):
     """Direct-form IIR filter y = (b/a) * x as a parallel associative scan
@@ -100,7 +107,13 @@ class IIRFilterBlock(SignalBlock):
         self.add_type_signature([Input("in", Float32)],
                                 [Output("out", Float32)])
 
+    def _design_ba(self):
+        """(b, a) coefficients; wrappers whose design depends on the
+        propagated rate override this (it runs after rate validation)."""
+        return self.b_taps, self.a_taps
+
     def initialize(self):
+        self.b_taps, self.a_taps = self._design_ba()
         self._A, self._g, self._b0 = scan_ops.iir_state_space(
             self.b_taps, self.a_taps)
 
@@ -112,6 +125,13 @@ class IIRFilterBlock(SignalBlock):
         y, state = scan_ops.iir_apply(x, jnp.asarray(self._A),
                                       jnp.asarray(self._g), self._b0, state)
         return state, y
+
+    def fir_equivalent(self):
+        """Graph-optimizer protocol: the truncated impulse response when the
+        filter decays into float32 noise quickly enough, else None (keeps
+        the associative-scan path).  See core/optimize.py."""
+        b, a = self._design_ba()
+        return fir_ops.iir_to_fir_taps(b, a, tol=1e-10)
 
 
 class _DesignedFIRBlock(FIRFilterBlock):
@@ -304,10 +324,8 @@ class SinglepoleLowpassFilterBlock(IIRFilterBlock):
         super().__init__([1.0], [1.0])
         self.cutoff = cutoff
 
-    def initialize(self):
-        b, a = _singlepole_lowpass_coeffs(self.cutoff, self.get_rate())
-        self.b_taps, self.a_taps = b, a
-        super().initialize()
+    def _design_ba(self):
+        return _singlepole_lowpass_coeffs(self.cutoff, self.get_rate())
 
 
 class SinglepoleHighpassFilterBlock(IIRFilterBlock):
@@ -318,11 +336,10 @@ class SinglepoleHighpassFilterBlock(IIRFilterBlock):
         super().__init__([1.0], [1.0])
         self.cutoff = cutoff
 
-    def initialize(self):
+    def _design_ba(self):
         k = np.tan(np.pi * self.cutoff / self.get_rate())
-        self.b_taps = np.array([1 / (1 + k), -1 / (1 + k)])
-        self.a_taps = np.array([1.0, (k - 1) / (1 + k)])
-        super().initialize()
+        return (np.array([1 / (1 + k), -1 / (1 + k)]),
+                np.array([1.0, (k - 1) / (1 + k)]))
 
 
 class FMDeemphasisFilterBlock(IIRFilterBlock):
@@ -333,11 +350,9 @@ class FMDeemphasisFilterBlock(IIRFilterBlock):
         super().__init__([1.0], [1.0])
         self.tau = tau
 
-    def initialize(self):
+    def _design_ba(self):
         cutoff = 1.0 / (2 * np.pi * self.tau)
-        b, a = _singlepole_lowpass_coeffs(cutoff, self.get_rate())
-        self.b_taps, self.a_taps = b, a
-        super().initialize()
+        return _singlepole_lowpass_coeffs(cutoff, self.get_rate())
 
 
 class FMPreemphasisFilterBlock(IIRFilterBlock):
@@ -348,12 +363,68 @@ class FMPreemphasisFilterBlock(IIRFilterBlock):
         super().__init__([1.0], [1.0])
         self.tau = tau
 
-    def initialize(self):
+    def _design_ba(self):
         cutoff = 1.0 / (2 * np.pi * self.tau)
         k = np.tan(np.pi * cutoff / self.get_rate())
-        self.b_taps = np.array([(1 + k) / k, (k - 1) / k])
-        self.a_taps = np.array([1.0, 1.0])
-        super().initialize()
+        return (np.array([(1 + k) / k, (k - 1) / k]),
+                np.array([1.0, 1.0]))
+
+
+class DecimatingFIRBlock(SignalBlock):
+    """Fused causal FIR + decimate-by-D, synthesized by the graph optimizer
+    (core/optimize.py) from FIR/IIR/Downsampler chains: only every D-th
+    convolution output is computed, as a banded-Toeplitz matmul on the MXU
+    (ops.fir.fir_decimate).  The reference has no analog — its pipeline
+    filters at full rate and discards 1-1/D of the output in the
+    downsampler (/root/reference/radio/blocks/signal/downsampler.lua).
+
+    Also constructible directly by users who want an explicit polyphase
+    decimator."""
+
+    def __init__(self, taps, decimation: int = 1):
+        super().__init__()
+        taps = np.asarray(taps)
+        self.taps = (taps.astype(np.complex64) if np.iscomplexobj(taps)
+                     else taps.astype(np.float32))
+        self.decimation = int(decimation)
+        if np.iscomplexobj(taps):
+            self.add_type_signature([Input("in", ComplexFloat32)],
+                                    [Output("out", ComplexFloat32)])
+            self.add_type_signature([Input("in", Float32)],
+                                    [Output("out", ComplexFloat32)])
+        else:
+            self.add_type_signature([Input("in", ComplexFloat32)],
+                                    [Output("out", ComplexFloat32)])
+            self.add_type_signature([Input("in", Float32)],
+                                    [Output("out", Float32)])
+
+    @classmethod
+    def synth(cls, taps, decimation, in_type, rate, name_hint: str = ""):
+        """Build a fully-differentiated instance for graph rewriting."""
+        blk = cls(taps, decimation)
+        blk.differentiate([in_type])
+        blk.input_rate = rate
+        if name_hint:
+            blk.name = f"DecimatingFIRBlock[{name_hint}]"
+        return blk
+
+    def get_rate_ratio(self):
+        from fractions import Fraction
+        return Fraction(1, self.decimation)
+
+    def chunk_multiple(self):
+        return self.decimation
+
+    def init_state(self):
+        return fir_ops.fir_decimate_init_state(
+            len(self.taps), self.get_input_type().dtype)
+
+    def process(self, state, x):
+        y, state = fir_ops.fir_decimate(x, self.taps, state, self.decimation)
+        return state, y
+
+    def fir_equivalent(self):
+        return np.asarray(self.taps) if self.decimation == 1 else None
 
 
 class HilbertTransformBlock(SignalBlock):
@@ -383,7 +454,7 @@ class HilbertTransformBlock(SignalBlock):
 
 
 __all__ = [
-    "FIRFilterBlock", "IIRFilterBlock",
+    "FIRFilterBlock", "IIRFilterBlock", "DecimatingFIRBlock",
     "LowpassFilterBlock", "HighpassFilterBlock", "BandpassFilterBlock",
     "BandstopFilterBlock", "ComplexBandpassFilterBlock",
     "ComplexBandstopFilterBlock", "RootRaisedCosineFilterBlock",

@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from luaradio_tpu.core.block import HostBlock, Input, Output, SignalBlock
+from luaradio_tpu.ops.layout import phase_merge, phase_split, upsample_zero_stuff
 from luaradio_tpu.types import Bit, Byte, ComplexFloat32, Float32
 
 
@@ -40,7 +41,9 @@ class DownsamplerBlock(SignalBlock):
         return self.factor
 
     def process(self, state, x):
-        return state, x[..., ::self.factor]
+        # ops.layout lowers the stride-M pick to an MXU selection matmul on
+        # TPU (a strided lane slice is ~6x slower than a raw read).
+        return state, phase_split(x, self.factor)[0]
 
 
 class UpsamplerBlock(SignalBlock):
@@ -58,11 +61,7 @@ class UpsamplerBlock(SignalBlock):
         return Fraction(self.factor)
 
     def process(self, state, x):
-        lead = x.shape[:-1]
-        n = x.shape[-1]
-        y = jnp.zeros(lead + (n, self.factor), dtype=x.dtype)
-        y = y.at[..., 0].set(x)
-        return state, y.reshape(lead + (n * self.factor,))
+        return state, upsample_zero_stuff(x, self.factor)
 
 
 class DelayBlock(SignalBlock):
@@ -104,8 +103,7 @@ class InterleaveBlock(SignalBlock):
         return Fraction(self.num_channels)
 
     def process(self, state, *xs):
-        y = jnp.stack(xs, axis=-1)
-        return state, y.reshape(y.shape[:-2] + (-1,))
+        return state, phase_merge(list(xs))
 
 
 class DeinterleaveBlock(SignalBlock):
@@ -128,8 +126,7 @@ class DeinterleaveBlock(SignalBlock):
         return self.num_channels
 
     def process(self, state, x):
-        k = self.num_channels
-        return state, tuple(x[..., i::k] for i in range(k))
+        return state, tuple(phase_split(x, self.num_channels))
 
 
 class NopBlock(SignalBlock):

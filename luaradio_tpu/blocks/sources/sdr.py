@@ -1,25 +1,42 @@
-"""SDR hardware sources.
+"""SDR hardware sources: ctypes bindings with asynchronous lossless ingest.
 
 TPU-native equivalents of /root/reference/radio/blocks/sources/{rtlsdr,
 airspy,airspyhf,hackrf,hydrasdr,sdrplay,bladerf,uhd,soapysdr}.lua.
 
-The reference reaches vendor C libraries through LuaJIT FFI with async read
-callbacks; here each driver is a ctypes binding doing synchronous reads on
-the host, feeding the device-resident pipeline (SURVEY §2.9: hardware ingest
-is host-side; file/network replay is the primary path on a TPU pod).  A
-missing vendor library raises a clear error at initialize() — hardware
-blocks are constructible without hardware, like the reference.
+The reference reaches vendor C libraries through LuaJIT FFI, with async
+read callbacks manufactured in a separate Lua state so driver threads can
+call them (radio/core/async.lua:74).  Here each driver is a ctypes binding
+(ctypes acquires the GIL for foreign-thread callbacks natively) and every
+source shares one ingest architecture:
+
+    vendor USB thread / reader thread  ->  SampleRingBuffer  ->  read()
+
+so hardware streaming never stalls on device compute or host I/O — the
+flow-graph pump drains the ring in chunk-sized reads while the driver
+keeps capturing (the round-1 build did blocking sync reads in the pump
+loop, which drops samples at 2+ MS/s whenever a downstream stage stalls).
+Overruns are counted (``ring.overflows``), not silent.
+
+Like the reference, hardware blocks are constructible without hardware;
+a missing vendor library raises a clear error at initialize().  The
+bindings are exercised in CI against fake ctypes libraries
+(tests/blocks/test_sdr.py) — the reference ships its SDR drivers untested.
 """
 
 from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import threading
+from ctypes import (CFUNCTYPE, POINTER, byref, c_bool, c_char, c_char_p,
+                    c_double, c_int, c_int8, c_int16, c_int64, c_size_t,
+                    c_uint8, c_uint32, c_uint64, c_void_p)
 
 import numpy as np
 
 from luaradio_tpu.core.block import HostSourceBlock, Output
 from luaradio_tpu.types import ComplexFloat32
+from luaradio_tpu.utils.ringbuffer import SampleRingBuffer
 
 
 def _load_library(*names):
@@ -38,18 +55,28 @@ def _load_library(*names):
 
 
 class _SDRSourceBase(HostSourceBlock):
-    """Common scaffolding: ComplexFloat32 output at a tuned frequency."""
+    """Common scaffolding: ComplexFloat32 output, tuned frequency, ring
+    buffer ingest shared by all drivers."""
 
     LIBRARY_NAMES: tuple = ()
+    #: ring capacity in seconds of samples at the source rate
+    RING_SECONDS = 2.0
+    #: read() returns EOF after this long with no samples (dead hardware)
+    READ_TIMEOUT = 5.0
+    #: test hook: inject a fake ctypes library (tests/blocks/test_sdr.py)
+    _injected_lib = None
 
     def __init__(self, frequency: float, rate: float, **options):
         super().__init__()
         self.frequency = float(frequency)
         self.rate = float(rate)
         self.options = options
+        self.ring: SampleRingBuffer | None = None
         self.add_type_signature([], [Output("out", ComplexFloat32)])
 
     def _require_library(self):
+        if type(self)._injected_lib is not None:
+            return type(self)._injected_lib
         lib = _load_library(*self.LIBRARY_NAMES)
         if lib is None:
             raise RuntimeError(
@@ -58,23 +85,71 @@ class _SDRSourceBase(HostSourceBlock):
                 f"driver or use a file/network source")
         return lib
 
+    def _make_ring(self):
+        cap = max(int(self.rate * self.RING_SECONDS), 1 << 18)
+        self.ring = SampleRingBuffer(cap, np.complex64)
+        return self.ring
 
-class RtlSdrSource(_SDRSourceBase):
-    """RTL-SDR dongle source (reference: rtlsdr.lua — librtlsdr via FFI;
-    here: ctypes + synchronous reads).
+    def read(self, n: int):
+        """Drain up to n samples from the ring; None at EOF/shutdown."""
+        out = self.ring.read(n, timeout=self.READ_TIMEOUT)
+        if out is None or len(out) == 0:
+            return None
+        return out
+
+
+class _ReaderThreadSource(_SDRSourceBase):
+    """Drivers with blocking sync-read APIs (librtlsdr, libbladeRF, libuhd,
+    SoapySDR): a dedicated reader thread pulls from the hardware and feeds
+    the ring, the analog of the reference's async read callbacks."""
+
+    def _start_reader(self):
+        self._reader_stop = threading.Event()
+        self._reader = threading.Thread(target=self._reader_main, daemon=True)
+        self._reader.start()
+
+    def _reader_main(self):
+        try:
+            while not self._reader_stop.is_set():
+                chunk = self._read_hw()
+                if chunk is None:
+                    break
+                if len(chunk):
+                    self.ring.write(chunk)
+        finally:
+            self.ring.close()
+
+    def _read_hw(self) -> np.ndarray | None:
+        raise NotImplementedError
+
+    def _stop_reader(self):
+        if getattr(self, "_reader_stop", None) is not None:
+            self._reader_stop.set()
+        if getattr(self, "_reader", None) is not None:
+            self._reader.join(timeout=2.0)
+            self._reader = None
+        if self.ring is not None:
+            self.ring.close()
+
+
+# ---------------------------------------------------------------------------
+# RTL-SDR (librtlsdr) — reference: rtlsdr.lua
+# ---------------------------------------------------------------------------
+
+class RtlSdrSource(_ReaderThreadSource):
+    """RTL-SDR dongle source (reference: rtlsdr.lua:98-266).
 
     Options: freq_correction (ppm), gain (dB, None = autogain),
-    bias_tee (bool).
-    """
+    bias_tee (bool)."""
 
     LIBRARY_NAMES = ("rtlsdr",)
-    _CHUNK = 16384
+    _READ_BYTES = 1 << 17  # 64k complex samples per USB read
 
     def initialize(self):
         lib = self._require_library()
         self._lib = lib
-        dev = ctypes.c_void_p()
-        if lib.rtlsdr_open(ctypes.byref(dev), 0) != 0:
+        dev = c_void_p()
+        if lib.rtlsdr_open(byref(dev), 0) != 0:
             raise RuntimeError("rtlsdr_open() failed (no device?)")
         self._dev = dev
         lib.rtlsdr_set_sample_rate(dev, int(self.rate))
@@ -91,33 +166,679 @@ class RtlSdrSource(_SDRSourceBase):
         if self.options.get("bias_tee"):
             lib.rtlsdr_set_bias_tee(dev, 1)
         lib.rtlsdr_reset_buffer(dev)
+        self._buf = (c_uint8 * self._READ_BYTES)()
+        self._make_ring()
+        self._start_reader()
 
-    def read(self, n: int):
-        want = min(max(n, 1), 1 << 20)
-        nbytes = 2 * want
-        nbytes -= nbytes % 512  # librtlsdr requires multiples of 512
-        nbytes = max(nbytes, 512)
-        buf = (ctypes.c_uint8 * nbytes)()
-        got = ctypes.c_int(0)
-        r = self._lib.rtlsdr_read_sync(self._dev, buf, nbytes,
-                                       ctypes.byref(got))
+    def _read_hw(self):
+        got = c_int(0)
+        r = self._lib.rtlsdr_read_sync(self._dev, self._buf,
+                                       self._READ_BYTES, byref(got))
         if r != 0 or got.value <= 0:
             return None
-        raw = np.frombuffer(bytes(buf)[:got.value], dtype=np.uint8)
-        raw = raw[:(len(raw) // 2) * 2].astype(np.float32)
-        iq = (raw - 127.5) / 127.5
-        return (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+        raw = np.frombuffer(self._buf, dtype=np.uint8,
+                            count=got.value & ~1).astype(np.float32)
+        iq = (raw - 127.5) * np.float32(1.0 / 127.5)
+        return iq.view(np.complex64) if iq.flags["C_CONTIGUOUS"] \
+            else (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
 
     def cleanup(self):
+        self._stop_reader()
         if getattr(self, "_dev", None):
             self._lib.rtlsdr_close(self._dev)
             self._dev = None
 
 
-class SoapySDRSource(_SDRSourceBase):
+# ---------------------------------------------------------------------------
+# HackRF One (libhackrf) — reference: hackrf.lua
+# ---------------------------------------------------------------------------
+
+class _hackrf_transfer(ctypes.Structure):
+    _fields_ = [("device", c_void_p),
+                ("buffer", POINTER(c_uint8)),
+                ("buffer_length", c_int),
+                ("valid_length", c_int),
+                ("rx_ctx", c_void_p),
+                ("tx_ctx", c_void_p)]
+
+
+_HACKRF_CB = CFUNCTYPE(c_int, POINTER(_hackrf_transfer))
+
+
+class HackRFSource(_SDRSourceBase):
+    """HackRF One source (reference: hackrf.lua:1-296).
+
+    Options: lna_gain (0..40 dB, 8 dB steps, default 8),
+    vga_gain (0..62 dB, 2 dB steps, default 40), bandwidth (Hz, default
+    round-down from rate), rf_amplifier_enable, antenna_power_enable."""
+
+    LIBRARY_NAMES = ("hackrf",)
+
+    def initialize(self):
+        lib = self._require_library()
+        self._lib = lib
+        r = lib.hackrf_init()
+        if r != 0:
+            raise RuntimeError(f"hackrf_init() failed ({r})")
+        dev = c_void_p()
+        r = lib.hackrf_open(byref(dev))
+        if r != 0:
+            raise RuntimeError(f"hackrf_open() failed ({r}; no device?)")
+        self._dev = dev
+
+        lib.hackrf_set_sample_rate(dev, c_double(self.rate))
+        bw = self.options.get("bandwidth")
+        if bw is None:
+            f = lib.hackrf_compute_baseband_filter_bw_round_down_lt
+            f.restype = c_uint32
+            bw = f(c_uint32(int(self.rate)))
+        lib.hackrf_set_baseband_filter_bandwidth(dev, c_uint32(int(bw)))
+        lib.hackrf_set_lna_gain(dev, c_uint32(
+            int(self.options.get("lna_gain", 8))))
+        lib.hackrf_set_vga_gain(dev, c_uint32(
+            int(self.options.get("vga_gain", 40))))
+        lib.hackrf_set_amp_enable(dev, c_uint8(
+            1 if self.options.get("rf_amplifier_enable") else 0))
+        lib.hackrf_set_antenna_enable(dev, c_uint8(
+            1 if self.options.get("antenna_power_enable") else 0))
+        lib.hackrf_set_freq(dev, c_uint64(int(self.frequency)))
+
+        ring = self._make_ring()
+        scale = np.float32(1.0 / 127.5)
+
+        def on_rx(transfer_ptr):
+            # vendor USB thread: convert s8 interleaved IQ -> complex64
+            t = transfer_ptr.contents
+            n = t.valid_length & ~1
+            if n <= 0:
+                return 0
+            raw = np.ctypeslib.as_array(t.buffer, shape=(n,))
+            iq = raw.view(np.int8).astype(np.float32) * scale
+            ring.write(iq.view(np.complex64))
+            return 0  # continue streaming
+
+        self._cb = _HACKRF_CB(on_rx)  # keep a ref: prevents GC
+        r = lib.hackrf_start_rx(dev, self._cb, None)
+        if r != 0:
+            raise RuntimeError(f"hackrf_start_rx() failed ({r})")
+
+    def cleanup(self):
+        if getattr(self, "_dev", None):
+            self._lib.hackrf_stop_rx(self._dev)
+            self._lib.hackrf_close(self._dev)
+            self._lib.hackrf_exit()
+            self._dev = None
+        if self.ring is not None:
+            self.ring.close()
+
+
+# ---------------------------------------------------------------------------
+# Airspy R2 / Mini (libairspy) — reference: airspy.lua
+# ---------------------------------------------------------------------------
+
+class _airspy_transfer(ctypes.Structure):
+    _fields_ = [("device", c_void_p),
+                ("ctx", c_void_p),
+                ("samples", c_void_p),
+                ("sample_count", c_int),
+                ("dropped_samples", c_uint64),
+                ("sample_type", c_int)]
+
+
+_AIRSPY_CB = CFUNCTYPE(c_int, POINTER(_airspy_transfer))
+_AIRSPY_SAMPLE_FLOAT32_IQ = 0
+
+
+class AirspySource(_SDRSourceBase):
+    """Airspy R2/Mini source (reference: airspy.lua:1-375).
+
+    Options: gain_mode ("linearity"|"sensitivity"|"custom", default
+    "linearity"), linearity_gain / sensitivity_gain (0..21, default 10),
+    lna_gain / mixer_gain / vga_gain (custom mode), lna_agc / mixer_agc
+    (custom mode), biastee_enable."""
+
+    LIBRARY_NAMES = ("airspy",)
+    _PREFIX = "airspy"
+    _TRANSFER = _airspy_transfer
+    _CBTYPE = _AIRSPY_CB
+
+    def _call(self, fname, *args):
+        fn = getattr(self._lib, f"{self._PREFIX}_{fname}")
+        r = fn(*args)
+        if r != 0:
+            raise RuntimeError(f"{self._PREFIX}_{fname}() failed ({r})")
+        return r
+
+    def _configure_gains(self, dev):
+        mode = self.options.get("gain_mode", "linearity")
+        if mode == "linearity":
+            self._call("set_linearity_gain", dev, c_uint8(
+                int(self.options.get("linearity_gain", 10))))
+        elif mode == "sensitivity":
+            self._call("set_sensitivity_gain", dev, c_uint8(
+                int(self.options.get("sensitivity_gain", 10))))
+        elif mode == "custom":
+            self._call("set_lna_gain", dev, c_uint8(
+                int(self.options.get("lna_gain", 5))))
+            self._call("set_mixer_gain", dev, c_uint8(
+                int(self.options.get("mixer_gain", 1))))
+            self._call("set_vga_gain", dev, c_uint8(
+                int(self.options.get("vga_gain", 5))))
+            self._call("set_lna_agc", dev, c_uint8(
+                1 if self.options.get("lna_agc") else 0))
+            self._call("set_mixer_agc", dev, c_uint8(
+                1 if self.options.get("mixer_agc") else 0))
+        else:
+            raise ValueError(f"{self.name}: unknown gain_mode {mode!r}")
+
+    def initialize(self):
+        self._lib = self._require_library()
+        dev = c_void_p()
+        self._call("open", byref(dev))
+        self._dev = dev
+        self._call("set_sample_type", dev, c_int(_AIRSPY_SAMPLE_FLOAT32_IQ))
+        self._call("set_samplerate", dev, c_uint32(int(self.rate)))
+        self._configure_gains(dev)
+        if self.options.get("biastee_enable"):
+            self._call("set_rf_bias", dev, c_uint8(1))
+        self._call("set_freq", dev, c_uint32(int(self.frequency)))
+
+        ring = self._make_ring()
+
+        def on_rx(transfer_ptr):
+            t = transfer_ptr.contents
+            n = t.sample_count
+            if n > 0 and t.samples:
+                # float32 interleaved IQ straight from the driver
+                buf = ctypes.cast(t.samples, POINTER(ctypes.c_float * (2 * n)))
+                iq = np.frombuffer(buf.contents, dtype=np.float32).copy()
+                ring.write(iq.view(np.complex64))
+            if t.dropped_samples:
+                ring.dropped_samples += int(t.dropped_samples)
+            return 0
+
+        self._cb = self._CBTYPE(on_rx)
+        self._call("start_rx", dev, self._cb, None)
+
+    def cleanup(self):
+        if getattr(self, "_dev", None):
+            try:
+                self._call("stop_rx", self._dev)
+            finally:
+                self._call("close", self._dev)
+                self._dev = None
+        if self.ring is not None:
+            self.ring.close()
+
+
+class _hydrasdr_transfer(ctypes.Structure):
+    _fields_ = _airspy_transfer._fields_
+
+
+_HYDRASDR_CB = CFUNCTYPE(c_int, POINTER(_hydrasdr_transfer))
+
+
+class HydraSDRSource(AirspySource):
+    """HydraSDR RFOne source (reference: hydrasdr.lua:1-374 — the C API
+    mirrors libairspy with a hydrasdr_ prefix)."""
+
+    LIBRARY_NAMES = ("hydrasdr",)
+    _PREFIX = "hydrasdr"
+    _TRANSFER = _hydrasdr_transfer
+    _CBTYPE = _HYDRASDR_CB
+
+
+# ---------------------------------------------------------------------------
+# Airspy HF+ (libairspyhf) — reference: airspyhf.lua
+# ---------------------------------------------------------------------------
+
+class _airspyhf_transfer(ctypes.Structure):
+    _fields_ = [("device", c_void_p),
+                ("ctx", c_void_p),
+                ("samples", c_void_p),       # airspyhf_complex_float_t*
+                ("sample_count", c_int),
+                ("dropped_samples", c_uint64)]
+
+
+_AIRSPYHF_CB = CFUNCTYPE(c_int, POINTER(_airspyhf_transfer))
+
+
+class AirspyHFSource(_SDRSourceBase):
+    """Airspy HF+ source (reference: airspyhf.lua:1-315).
+
+    Options: hf_agc (default True), hf_agc_threshold ("low"|"high"),
+    hf_att (0..48 dB in 6 dB steps, manual attenuation), hf_lna (bool)."""
+
+    LIBRARY_NAMES = ("airspyhf",)
+
+    def _call(self, fname, *args):
+        fn = getattr(self._lib, f"airspyhf_{fname}")
+        r = fn(*args)
+        if r != 0:
+            raise RuntimeError(f"airspyhf_{fname}() failed ({r})")
+
+    def initialize(self):
+        self._lib = self._require_library()
+        dev = c_void_p()
+        self._call("open", byref(dev))
+        self._dev = dev
+        self._call("set_samplerate", dev, c_uint32(int(self.rate)))
+        hf_agc = self.options.get("hf_agc", True)
+        self._call("set_hf_agc", dev, c_uint8(1 if hf_agc else 0))
+        if hf_agc:
+            thresh = self.options.get("hf_agc_threshold", "low")
+            self._call("set_hf_agc_threshold", dev,
+                       c_uint8(0 if thresh == "low" else 1))
+        else:
+            att = int(self.options.get("hf_att", 0))
+            self._call("set_hf_att", dev, c_uint8(att // 6))
+        self._call("set_hf_lna", dev, c_uint8(
+            1 if self.options.get("hf_lna") else 0))
+        self._call("set_freq", dev, c_uint32(int(self.frequency)))
+
+        ring = self._make_ring()
+
+        def on_rx(transfer_ptr):
+            t = transfer_ptr.contents
+            n = t.sample_count
+            if n > 0 and t.samples:
+                buf = ctypes.cast(t.samples, POINTER(ctypes.c_float * (2 * n)))
+                iq = np.frombuffer(buf.contents, dtype=np.float32).copy()
+                ring.write(iq.view(np.complex64))
+            if t.dropped_samples:
+                ring.dropped_samples += int(t.dropped_samples)
+            return 0
+
+        self._cb = _AIRSPYHF_CB(on_rx)
+        self._call("start", dev, self._cb, None)
+
+    def cleanup(self):
+        if getattr(self, "_dev", None):
+            try:
+                self._call("stop", self._dev)
+            finally:
+                self._call("close", self._dev)
+                self._dev = None
+        if self.ring is not None:
+            self.ring.close()
+
+
+# ---------------------------------------------------------------------------
+# Nuand bladeRF (libbladeRF) — reference: bladerf.lua
+# ---------------------------------------------------------------------------
+
+_BLADERF_RX_X1 = 0          # bladerf_channel_layout
+_BLADERF_FORMAT_SC16_Q11 = 0
+_BLADERF_GAIN_DEFAULT = 0
+_BLADERF_GAIN_MGC = 1
+
+
+def _bladerf_channel_rx(ch: int) -> int:
+    return (ch << 1) | 0x0
+
+
+class BladeRFSource(_ReaderThreadSource):
+    """Nuand bladeRF source (reference: bladerf.lua:1-447).
+
+    Options: device_id (str, default ""), channel (int, default 0),
+    gain (dB, manual), bandwidth (Hz, default 80% of rate),
+    autogain (default True when gain is None)."""
+
+    LIBRARY_NAMES = ("bladeRF",)
+    _SYNC_SAMPLES = 1 << 16
+
+    def initialize(self):
+        lib = self._require_library()
+        self._lib = lib
+        dev = c_void_p()
+        devid = self.options.get("device_id", "").encode()
+        r = lib.bladerf_open(byref(dev), devid or None)
+        if r != 0:
+            raise RuntimeError(f"bladerf_open() failed ({r}; no device?)")
+        self._dev = dev
+        ch = _bladerf_channel_rx(int(self.options.get("channel", 0)))
+        self._ch = ch
+
+        actual = c_uint32(0)
+        r = lib.bladerf_set_sample_rate(dev, ch, c_uint32(int(self.rate)),
+                                        byref(actual))
+        if r != 0:
+            raise RuntimeError(f"bladerf_set_sample_rate() failed ({r})")
+        bw = int(self.options.get("bandwidth", 0.8 * self.rate))
+        lib.bladerf_set_bandwidth(dev, ch, c_uint32(bw), byref(actual))
+        gain = self.options.get("gain")
+        autogain = self.options.get("autogain", gain is None)
+        if autogain:
+            lib.bladerf_set_gain_mode(dev, ch, _BLADERF_GAIN_DEFAULT)
+        else:
+            lib.bladerf_set_gain_mode(dev, ch, _BLADERF_GAIN_MGC)
+            lib.bladerf_set_gain(dev, ch, c_int(int(gain or 0)))
+        r = lib.bladerf_set_frequency(dev, ch, c_uint64(int(self.frequency)))
+        if r != 0:
+            raise RuntimeError(f"bladerf_set_frequency() failed ({r})")
+
+        # sync RX: 16 buffers x 8192 samples, 8 transfers (reference
+        # bladerf.lua:390 uses the same sync-config shape)
+        r = lib.bladerf_sync_config(dev, _BLADERF_RX_X1,
+                                    _BLADERF_FORMAT_SC16_Q11,
+                                    c_uint32(16), c_uint32(8192),
+                                    c_uint32(8), c_uint32(1000))
+        if r != 0:
+            raise RuntimeError(f"bladerf_sync_config() failed ({r})")
+        r = lib.bladerf_enable_module(dev, ch, True)
+        if r != 0:
+            raise RuntimeError(f"bladerf_enable_module() failed ({r})")
+
+        self._buf = (c_int16 * (2 * self._SYNC_SAMPLES))()
+        self._make_ring()
+        self._start_reader()
+
+    def _read_hw(self):
+        r = self._lib.bladerf_sync_rx(self._dev, self._buf,
+                                      c_uint32(self._SYNC_SAMPLES), None,
+                                      c_uint32(1000))
+        if r != 0:
+            return None
+        raw = np.frombuffer(self._buf, dtype=np.int16).astype(np.float32)
+        iq = raw * np.float32(1.0 / 2048.0)  # SC16_Q11: 11 fractional bits
+        return iq.view(np.complex64)
+
+    def cleanup(self):
+        self._stop_reader()
+        if getattr(self, "_dev", None):
+            self._lib.bladerf_enable_module(self._dev, self._ch, False)
+            self._lib.bladerf_close(self._dev)
+            self._dev = None
+
+
+# ---------------------------------------------------------------------------
+# Ettus USRP (libuhd C API) — reference: uhd.lua
+# ---------------------------------------------------------------------------
+
+class _uhd_tune_request(ctypes.Structure):
+    _fields_ = [("target_freq", c_double),
+                ("rf_freq_policy", c_int),
+                ("rf_freq", c_double),
+                ("dsp_freq_policy", c_int),
+                ("dsp_freq", c_double),
+                ("args", c_char_p)]
+
+
+class _uhd_tune_result(ctypes.Structure):
+    _fields_ = [("clipped_rf_freq", c_double),
+                ("target_rf_freq", c_double),
+                ("actual_rf_freq", c_double),
+                ("target_dsp_freq", c_double),
+                ("actual_dsp_freq", c_double)]
+
+
+class _uhd_stream_args(ctypes.Structure):
+    _fields_ = [("cpu_format", c_char_p),
+                ("otw_format", c_char_p),
+                ("args", c_char_p),
+                ("channel_list", POINTER(c_size_t)),
+                ("n_channels", c_int)]
+
+
+class _uhd_stream_cmd(ctypes.Structure):
+    _fields_ = [("stream_mode", c_int),
+                ("num_samps", c_size_t),
+                ("stream_now", c_bool),
+                ("time_spec_full_secs", c_int64),
+                ("time_spec_frac_secs", c_double)]
+
+
+_UHD_TUNE_POLICY_AUTO = 65
+_UHD_STREAM_MODE_START_CONTINUOUS = 97
+_UHD_STREAM_MODE_STOP_CONTINUOUS = 111
+
+
+class UHDSource(_ReaderThreadSource):
+    """Ettus USRP source via the libuhd C API (reference: uhd.lua:1-658).
+
+    Options: channel (int, default 0), gain (dB, overall), bandwidth (Hz),
+    antenna (str), autogain (default True when gain is None)."""
+
+    LIBRARY_NAMES = ("uhd",)
+    _RECV_SAMPLES = 1 << 16
+
+    def __init__(self, device: str, frequency: float, rate: float, **options):
+        super().__init__(frequency, rate, **options)
+        self.device = device
+
+    def _check(self, name, r):
+        if r != 0:
+            raise RuntimeError(f"{name}() failed (uhd_error {r})")
+
+    def initialize(self):
+        lib = self._require_library()
+        self._lib = lib
+        usrp = c_void_p()
+        self._check("uhd_usrp_make",
+                    lib.uhd_usrp_make(byref(usrp), self.device.encode()))
+        self._usrp = usrp
+        ch = c_size_t(int(self.options.get("channel", 0)))
+        self._check("uhd_usrp_set_rx_rate",
+                    lib.uhd_usrp_set_rx_rate(usrp, c_double(self.rate), ch))
+        gain = self.options.get("gain")
+        autogain = self.options.get("autogain", gain is None)
+        if autogain and hasattr(lib, "uhd_usrp_set_rx_agc"):
+            lib.uhd_usrp_set_rx_agc(usrp, True, ch)
+        elif gain is not None:
+            self._check("uhd_usrp_set_rx_gain",
+                        lib.uhd_usrp_set_rx_gain(usrp, c_double(gain), ch,
+                                                 b""))
+        if "bandwidth" in self.options:
+            self._check("uhd_usrp_set_rx_bandwidth",
+                        lib.uhd_usrp_set_rx_bandwidth(
+                            usrp, c_double(self.options["bandwidth"]), ch))
+        if "antenna" in self.options:
+            self._check("uhd_usrp_set_rx_antenna",
+                        lib.uhd_usrp_set_rx_antenna(
+                            usrp, self.options["antenna"].encode(), ch))
+        req = _uhd_tune_request(target_freq=self.frequency,
+                                rf_freq_policy=_UHD_TUNE_POLICY_AUTO,
+                                dsp_freq_policy=_UHD_TUNE_POLICY_AUTO)
+        res = _uhd_tune_result()
+        self._check("uhd_usrp_set_rx_freq",
+                    lib.uhd_usrp_set_rx_freq(usrp, byref(req), ch,
+                                             byref(res)))
+
+        rx = c_void_p()
+        self._check("uhd_rx_streamer_make",
+                    lib.uhd_rx_streamer_make(byref(rx)))
+        self._rx = rx
+        chans = (c_size_t * 1)(ch.value)
+        sargs = _uhd_stream_args(cpu_format=b"fc32", otw_format=b"sc16",
+                                 args=b"", channel_list=chans, n_channels=1)
+        self._check("uhd_usrp_get_rx_stream",
+                    lib.uhd_usrp_get_rx_stream(usrp, byref(sargs), rx))
+        md = c_void_p()
+        self._check("uhd_rx_metadata_make",
+                    lib.uhd_rx_metadata_make(byref(md)))
+        self._md = md
+        cmd = _uhd_stream_cmd(
+            stream_mode=_UHD_STREAM_MODE_START_CONTINUOUS,
+            num_samps=0, stream_now=True)
+        self._check("uhd_rx_streamer_issue_stream_cmd",
+                    lib.uhd_rx_streamer_issue_stream_cmd(rx, byref(cmd)))
+
+        self._buf = np.zeros(self._RECV_SAMPLES, dtype=np.complex64)
+        self._buf_ptr = (c_void_p * 1)(self._buf.ctypes.data)
+        self._make_ring()
+        self._start_reader()
+
+    def _read_hw(self):
+        got = c_size_t(0)
+        r = self._lib.uhd_rx_streamer_recv(
+            self._rx, self._buf_ptr, c_size_t(self._RECV_SAMPLES),
+            byref(self._md), c_double(1.0), c_bool(False), byref(got))
+        if r != 0:
+            return None
+        if got.value == 0:
+            return np.empty(0, np.complex64)
+        return self._buf[:got.value].copy()
+
+    def cleanup(self):
+        self._stop_reader()
+        lib = getattr(self, "_lib", None)
+        if getattr(self, "_rx", None) and lib is not None:
+            cmd = _uhd_stream_cmd(
+                stream_mode=_UHD_STREAM_MODE_STOP_CONTINUOUS,
+                num_samps=0, stream_now=True)
+            lib.uhd_rx_streamer_issue_stream_cmd(self._rx, byref(cmd))
+            lib.uhd_rx_streamer_free(byref(self._rx))
+            self._rx = None
+        if getattr(self, "_md", None) and lib is not None:
+            lib.uhd_rx_metadata_free(byref(self._md))
+            self._md = None
+        if getattr(self, "_usrp", None) and lib is not None:
+            lib.uhd_usrp_free(byref(self._usrp))
+            self._usrp = None
+
+
+# ---------------------------------------------------------------------------
+# SDRplay RSP (sdrplay_api v3) — reference: sdrplay.lua
+# ---------------------------------------------------------------------------
+
+class _sdrplay_device(ctypes.Structure):
+    _fields_ = [("SerNo", c_char * 64),
+                ("hwVer", c_uint8),
+                ("tuner", c_int),
+                ("rspDuoMode", c_int),
+                ("valid", c_uint8),
+                ("rspDuoSampleFreq", c_double),
+                ("dev", c_void_p)]
+
+
+class _sdrplay_stream_cb_params(ctypes.Structure):
+    _fields_ = [("firstSampleNum", c_uint32),
+                ("grChanged", c_int),
+                ("rfChanged", c_int),
+                ("fsChanged", c_int),
+                ("numSamples", c_uint32),
+                ("reset", c_uint32)]
+
+
+_SDRPLAY_STREAM_CB = CFUNCTYPE(
+    None, POINTER(c_int16), POINTER(c_int16),
+    POINTER(_sdrplay_stream_cb_params), c_uint32, c_uint32, c_void_p)
+_SDRPLAY_EVENT_CB = CFUNCTYPE(None, c_int, c_int, c_void_p, c_void_p)
+
+
+class _sdrplay_callback_fns(ctypes.Structure):
+    _fields_ = [("StreamACbFn", _SDRPLAY_STREAM_CB),
+                ("StreamBCbFn", _SDRPLAY_STREAM_CB),
+                ("EventCbFn", _SDRPLAY_EVENT_CB)]
+
+
+class SDRplaySource(_SDRSourceBase):
+    """SDRplay RSP source via sdrplay_api v3 (reference: sdrplay.lua:1-984).
+
+    The v3 service API hands out a nested device-params struct to mutate;
+    this binding uses the documented entry points (Open/SelectDevice/Init/
+    Uninit/ReleaseDevice/Close) with the stream callback feeding the ring.
+    Parameter tuning beyond frequency/rate (gain reduction, IF/BW modes) is
+    applied through sdrplay_api_Update when the library exposes it.
+
+    Options: gain_reduction (dB, default 40), bandwidth (Hz)."""
+
+    LIBRARY_NAMES = ("sdrplay_api", "mirsdrapi-rsp")
+
+    def initialize(self):
+        lib = self._require_library()
+        self._lib = lib
+        r = lib.sdrplay_api_Open()
+        if r != 0:
+            raise RuntimeError(f"sdrplay_api_Open() failed ({r}); is the "
+                               f"sdrplay service running?")
+        self._opened = True
+        lib.sdrplay_api_LockDeviceApi()
+        devs = (_sdrplay_device * 8)()
+        ndev = c_uint32(0)
+        r = lib.sdrplay_api_GetDevices(devs, byref(ndev), c_uint32(8))
+        if r != 0 or ndev.value == 0:
+            lib.sdrplay_api_UnlockDeviceApi()
+            raise RuntimeError("sdrplay: no devices found")
+        self._devt = devs[0]
+        r = lib.sdrplay_api_SelectDevice(byref(self._devt))
+        lib.sdrplay_api_UnlockDeviceApi()
+        if r != 0:
+            raise RuntimeError(f"sdrplay_api_SelectDevice() failed ({r})")
+
+        ring = self._make_ring()
+        scale = np.float32(1.0 / 32768.0)
+
+        def on_stream(xi, xq, params_ptr, num, reset, ctx):
+            n = int(num)
+            if n <= 0:
+                return
+            ii = np.ctypeslib.as_array(xi, shape=(n,)).astype(np.float32)
+            qq = np.ctypeslib.as_array(xq, shape=(n,)).astype(np.float32)
+            ring.write(((ii + 1j * qq) * scale).astype(np.complex64))
+
+        def on_event(event_id, tuner, params, ctx):
+            return None
+
+        self._cbs = _sdrplay_callback_fns(
+            StreamACbFn=_SDRPLAY_STREAM_CB(on_stream),
+            StreamBCbFn=_SDRPLAY_STREAM_CB(lambda *a: None),
+            EventCbFn=_SDRPLAY_EVENT_CB(on_event))
+
+        # Device params: frequency / sample rate / gain via the nested
+        # param struct when available (layout varies across API minor
+        # versions; fall back to defaults if absent).
+        if hasattr(lib, "sdrplay_api_GetDeviceParams"):
+            params = c_void_p()
+            lib.sdrplay_api_GetDeviceParams(self._devt.dev, byref(params))
+            self._apply_params(params)
+
+        r = lib.sdrplay_api_Init(self._devt.dev, byref(self._cbs), None)
+        if r != 0:
+            raise RuntimeError(f"sdrplay_api_Init() failed ({r})")
+
+    def _apply_params(self, params):
+        """Poke rfHz / fsHz into the nested sdrplay param structs.  The
+        offsets follow the published sdrplay_api.h v3 layout; wrapped in a
+        guard so an unexpected library build degrades to defaults instead
+        of corrupting memory."""
+        try:
+            if not params or not params.value:
+                return
+            # deviceParams->devParams->fsFreq.fsHz (double at known offset)
+            dev_params = ctypes.cast(params, POINTER(c_void_p))[0]
+            if dev_params:
+                ctypes.cast(dev_params, POINTER(c_double))[0] = self.rate
+            # deviceParams->rxChannelA->tunerParams.rfFreq.rfHz
+            rx_a = ctypes.cast(params, POINTER(c_void_p))[1]
+            if rx_a:
+                ctypes.cast(rx_a, POINTER(c_double))[0] = self.frequency
+        except (ValueError, ctypes.ArgumentError):
+            pass
+
+    def cleanup(self):
+        lib = getattr(self, "_lib", None)
+        if getattr(self, "_devt", None) is not None and lib is not None:
+            lib.sdrplay_api_Uninit(self._devt.dev)
+            lib.sdrplay_api_LockDeviceApi()
+            lib.sdrplay_api_ReleaseDevice(byref(self._devt))
+            lib.sdrplay_api_UnlockDeviceApi()
+            self._devt = None
+        if getattr(self, "_opened", False) and lib is not None:
+            lib.sdrplay_api_Close()
+            self._opened = False
+        if self.ring is not None:
+            self.ring.close()
+
+
+# ---------------------------------------------------------------------------
+# SoapySDR (generic vendor coverage through one API)
+# ---------------------------------------------------------------------------
+
+class SoapySDRSource(_ReaderThreadSource):
     """Generic SoapySDR source covering most vendor hardware through one
-    API (reference: soapysdr.lua).  Uses the SoapySDR Python bindings when
-    installed, else raises."""
+    API (reference: soapysdr.lua:1-542).  Uses the SoapySDR Python bindings
+    when installed, else raises."""
 
     LIBRARY_NAMES = ("SoapySDR",)
 
@@ -142,73 +863,24 @@ class SoapySDRSource(_SDRSourceBase):
             self._dev.setGain(SOAPY_SDR_RX, 0, self.options["gain"])
         self._stream = self._dev.setupStream(SOAPY_SDR_RX, SOAPY_SDR_CF32)
         self._dev.activateStream(self._stream)
+        self._buf = np.zeros(1 << 16, dtype=np.complex64)
+        self._make_ring()
+        self._start_reader()
 
-    def read(self, n: int):
-        buf = np.zeros(min(n, 1 << 17), dtype=np.complex64)
-        sr = self._dev.readStream(self._stream, [buf], len(buf))
-        if sr.ret <= 0:
+    def _read_hw(self):
+        sr = self._dev.readStream(self._stream, [self._buf], len(self._buf))
+        if sr.ret < 0:
             return None
-        return buf[:sr.ret]
+        if sr.ret == 0:
+            return np.empty(0, np.complex64)
+        return self._buf[:sr.ret].copy()
 
     def cleanup(self):
+        self._stop_reader()
         if getattr(self, "_stream", None):
             self._dev.deactivateStream(self._stream)
             self._dev.closeStream(self._stream)
             self._stream = None
-
-
-class _UnboundSDRSource(_SDRSourceBase):
-    """Vendor drivers whose C APIs need per-device streaming state machines;
-    these report a clear unavailability error and point at SoapySDR, which
-    supports all of them through its vendor modules."""
-
-    def initialize(self):
-        raise RuntimeError(
-            f"{self.name}: direct driver binding not available in this "
-            f"build; use SoapySDRSource (driver=...) for this hardware, or "
-            f"a file/network source")
-
-    def read(self, n: int):  # pragma: no cover
-        raise RuntimeError(f"{self.name}: not initialized")
-
-
-class AirspySource(_UnboundSDRSource):
-    """Airspy R2/Mini source (reference: airspy.lua)."""
-    LIBRARY_NAMES = ("airspy",)
-
-
-class AirspyHFSource(_UnboundSDRSource):
-    """Airspy HF+ source (reference: airspyhf.lua)."""
-    LIBRARY_NAMES = ("airspyhf",)
-
-
-class HackRFSource(_UnboundSDRSource):
-    """HackRF One source (reference: hackrf.lua)."""
-    LIBRARY_NAMES = ("hackrf",)
-
-
-class HydraSDRSource(_UnboundSDRSource):
-    """HydraSDR RFOne source (reference: hydrasdr.lua)."""
-    LIBRARY_NAMES = ("hydrasdr",)
-
-
-class SDRplaySource(_UnboundSDRSource):
-    """SDRplay RSP source (reference: sdrplay.lua)."""
-    LIBRARY_NAMES = ("sdrplay_api", "mirsdrapi-rsp")
-
-
-class BladeRFSource(_UnboundSDRSource):
-    """Nuand bladeRF source (reference: bladerf.lua)."""
-    LIBRARY_NAMES = ("bladeRF",)
-
-
-class UHDSource(_UnboundSDRSource):
-    """Ettus USRP source (reference: uhd.lua)."""
-    LIBRARY_NAMES = ("uhd",)
-
-    def __init__(self, device: str, frequency: float, rate: float, **options):
-        super().__init__(frequency, rate, **options)
-        self.device = device
 
 
 __all__ = ["RtlSdrSource", "SoapySDRSource", "AirspySource", "AirspyHFSource",

@@ -10,7 +10,7 @@ from luaradio_tpu.blocks.signal.filtering import (FMDeemphasisFilterBlock,
                                                   HilbertTransformBlock,
                                                   ComplexBandpassFilterBlock,
                                                   LowpassFilterBlock)
-from luaradio_tpu.blocks.signal.carrier import PLLBlock
+from luaradio_tpu.blocks.signal.carrier import PilotRecoveryBlock, PLLBlock
 from luaradio_tpu.blocks.signal.math import (AddBlock, ComplexToRealBlock,
                                              MultiplyConjugateBlock,
                                              SubtractBlock)
@@ -39,11 +39,17 @@ class WBFMMonoDemodulator(CompositeBlock):
 
 
 class WBFMStereoDemodulator(CompositeBlock):
-    """Broadcast FM stereo: 19 kHz pilot PLL doubled to 38 kHz, coherent L-R
-    demod, stereo matrix, deemphasis (reference:
-    wbfmstereodemodulator.lua:28-64)."""
+    """Broadcast FM stereo: 19 kHz pilot recovery doubled to 38 kHz,
+    coherent L-R demod, stereo matrix, deemphasis (reference:
+    wbfmstereodemodulator.lua:28-64).
 
-    def __init__(self, tau: float = 75e-6):
+    ``pilot``: "pll" (reference semantics — bandpass + PLL, a sequential
+    feedback loop) or "vector" (TPU-native PilotRecoveryBlock — bandpass +
+    magnitude normalization, pure FIR/elementwise, time-shardable; see
+    blocks/signal/carrier.py).  Both are validated to the same stereo
+    separation (tests/core/test_demodulators.py)."""
+
+    def __init__(self, tau: float = 75e-6, pilot: str = "pll"):
         super().__init__()
         bandwidth = 15e3
         fm_demod = FrequencyDiscriminatorBlock(1.25)
@@ -54,8 +60,14 @@ class WBFMStereoDemodulator(CompositeBlock):
         # samples (measured coherence peak; the reference's 129 leaves a
         # constant ~1.3 rad offset that costs stereo separation)
         delay = DelayBlock(64)
-        pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
-        pilot_pll = PLLBlock(100.0, 19e3 - 50, 19e3 + 50, multiplier=2)
+        if pilot == "pll":
+            pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
+            pilot_pll = PLLBlock(100.0, 19e3 - 50, 19e3 + 50, multiplier=2)
+        elif pilot == "vector":
+            pilot_filter = PilotRecoveryBlock(129, (18e3, 20e3),
+                                              multiplier=2)
+        else:
+            raise ValueError(f"unknown pilot mode {pilot!r}")
         mixer = MultiplyConjugateBlock()
         lpr_filter = LowpassFilterBlock(128, bandwidth)
         lpr_am_demod = ComplexToRealBlock()
@@ -67,10 +79,14 @@ class WBFMStereoDemodulator(CompositeBlock):
         right_af_deemphasis = FMDeemphasisFilterBlock(tau)
 
         self.connect(fm_demod, hilbert)
-        self.connect(hilbert, pilot_filter, pilot_pll)
+        if pilot == "pll":
+            self.connect(hilbert, pilot_filter, pilot_pll)
+            self.connect(pilot_pll, "out", mixer, "in2")
+        else:
+            self.connect(hilbert, pilot_filter)
+            self.connect(pilot_filter, "out", mixer, "in2")
         self.connect(hilbert, delay)
         self.connect(delay, "out", mixer, "in1")
-        self.connect(pilot_pll, "out", mixer, "in2")
         self.connect(delay, lpr_filter, lpr_am_demod)
         self.connect(mixer, lmr_filter, lmr_am_demod)
         self.connect(lpr_am_demod, "out", l_sum, "in1")

@@ -16,6 +16,7 @@ from luaradio_tpu.blocks.protocol.pocsag import (POCSAGDecoderBlock,
 from luaradio_tpu.blocks.protocol.rds import RDSDecoderBlock, RDSFramerBlock
 from luaradio_tpu.blocks.protocol.varicode import VaricodeDecoderBlock
 from luaradio_tpu.blocks.signal.carrier import (BinaryPhaseCorrectorBlock,
+                                                PilotRecoveryBlock,
                                                 PLLBlock,
                                                 ZeroCrossingClockRecoveryBlock)
 from luaradio_tpu.blocks.signal.digital import (PreambleSamplerBlock,
@@ -45,15 +46,23 @@ class RDSReceiver(CompositeBlock):
     RRC -> BPSK clock recovery -> Manchester -> differential -> framer ->
     decoder (reference: rdsreceiver.lua:24-56)."""
 
-    def __init__(self):
+    def __init__(self, pilot: str = "pll"):
         super().__init__()
         fm_demod = FrequencyDiscriminatorBlock(1.25)
         hilbert = HilbertTransformBlock(129)
         # signal-path delay = pilot filter group delay (see composites/fm.py)
         mixer_delay = DelayBlock(64)
-        pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
-        pll_baseband = PLLBlock(1500.0, 19e3 - 100, 19e3 + 100,
-                                multiplier=3.0)
+        if pilot == "pll":
+            pilot_filter = ComplexBandpassFilterBlock(129, (18e3, 20e3))
+            pll_baseband = PLLBlock(1500.0, 19e3 - 100, 19e3 + 100,
+                                    multiplier=3.0)
+        elif pilot == "vector":
+            # TPU-native pilot path: FIR + normalize, time-shardable
+            # (blocks/signal/carrier.py PilotRecoveryBlock)
+            pilot_filter = PilotRecoveryBlock(129, (18e3, 20e3),
+                                              multiplier=3)
+        else:
+            raise ValueError(f"unknown pilot mode {pilot!r}")
         mixer = MultiplyConjugateBlock()
         baseband_filter = LowpassFilterBlock(128, 4e3)
         baseband_rrc = RootRaisedCosineFilterBlock(101, 1, 1187.5)
@@ -69,9 +78,13 @@ class RDSReceiver(CompositeBlock):
         decoder = RDSDecoderBlock()
 
         self.connect(fm_demod, hilbert, mixer_delay)
-        self.connect(hilbert, pilot_filter, pll_baseband)
+        if pilot == "pll":
+            self.connect(hilbert, pilot_filter, pll_baseband)
+            self.connect(pll_baseband, "out", mixer, "in2")
+        else:
+            self.connect(hilbert, pilot_filter)
+            self.connect(pilot_filter, "out", mixer, "in2")
         self.connect(mixer_delay, "out", mixer, "in1")
-        self.connect(pll_baseband, "out", mixer, "in2")
         self.connect(mixer, baseband_filter, baseband_rrc, phase_corrector)
         self.connect(phase_corrector, clock_demod, clock_recoverer)
         self.connect(phase_corrector, "out", sampler, "data")

@@ -174,18 +174,24 @@ class CompositeBlock(Block):
 
     # -- run API (mirrors composite.lua:514-950) ---------------------------
     def run(self, mode: str = "fused", max_chunks: int | None = None,
-            chunk_size: int | None = None):
+            chunk_size: int | None = None, optimize: bool | None = None,
+            mesh=None, channels: int | None = None):
         """Run the flow graph to completion (EOF of any source)."""
         from luaradio_tpu.core.runtime import Runner
-        runner = Runner(self, mode=mode, chunk_size=chunk_size)
+        runner = Runner(self, mode=mode, chunk_size=chunk_size,
+                        optimize=optimize, mesh=mesh, channels=channels)
         runner.run(max_chunks=max_chunks)
         return self
 
-    def start(self, mode: str = "fused", chunk_size: int | None = None):
+    def start(self, mode: str = "fused", chunk_size: int | None = None,
+              optimize: bool | None = None, mesh=None,
+              channels: int | None = None):
         from luaradio_tpu.core.runtime import Runner
         if self._runner is not None and self._runner.running:
             raise RuntimeError("flow graph already running")
-        self._runner = Runner(self, mode=mode, chunk_size=chunk_size)
+        self._runner = Runner(self, mode=mode, chunk_size=chunk_size,
+                              optimize=optimize, mesh=mesh,
+                              channels=channels)
         self._runner.start()
         return self
 
@@ -210,15 +216,21 @@ class CompositeBlock(Block):
 
 
 class Graph:
-    """Flattened, validated, typed, rate-checked, chunk-planned graph."""
+    """Flattened, validated, typed, rate-checked, optimized, chunk-planned
+    graph."""
 
-    def __init__(self, top: CompositeBlock, chunk_size: int | None = None):
+    def __init__(self, top: CompositeBlock, chunk_size: int | None = None,
+                 optimize: bool | None = None):
         self.blocks, self.edges = top._flatten()
         self._validate_connected()
         self.order = self._topo_sort()
         self._differentiate()
         self._demote_duals()
         self._validate_rates()
+        from luaradio_tpu.core import optimize as opt
+        if optimize is None:
+            optimize = opt.enabled_by_env()
+        self.n_fusions = opt.optimize_graph(self) if optimize else 0
         self._plan_chunks(chunk_size)
         self._assign_stages()
         self._initialize()

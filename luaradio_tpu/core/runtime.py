@@ -41,33 +41,44 @@ def _to_host(value, n_valid=None, masked=False, complex_=False):
 
     Device edges carry complex chunks as interleaved float32 (TPU backends
     reject complex64 at program boundaries — see ops.complexutil); they are
-    re-viewed as complex64 here, zero-copy.
+    re-viewed as complex64 here, zero-copy.  Time is the LAST axis; leading
+    axes (channel banks) pass through.
     """
     if masked:
         values, mask = value
         arr = payload_to_host(np.asarray(values), complex_)
         m = np.asarray(mask).astype(bool)
-        if n_valid is not None and n_valid < len(m):
+        if n_valid is not None and n_valid < m.shape[-1]:
             m = m.copy()
-            m[n_valid:] = False
+            m[..., n_valid:] = False
         return arr[m]
     if isinstance(value, (list, tuple)):
         return value
     arr = payload_to_host(np.asarray(value), complex_)
-    if n_valid is not None and n_valid < len(arr):
-        arr = arr[:n_valid]
+    if n_valid is not None and n_valid < arr.shape[-1]:
+        arr = arr[..., :n_valid]
     return arr
 
 
 class Segment:
-    """A maximal group of device blocks compiled as one XLA program."""
+    """A maximal group of device blocks compiled as one XLA program.
+
+    With ``mesh``/``channels``, the program is the vmap of the per-channel
+    step over a leading channel axis, jitted with every input/output/state
+    sharded ``P(channel_axis)`` — XLA SPMD runs the bank embarrassingly
+    parallel over the mesh with zero collectives (the generic form of
+    parallel/channel.py, applied to ANY graph)."""
 
     def __init__(self, graph: Graph, blocks: list[Block], bid: dict[int, str],
-                 jit_compile: bool):
+                 jit_compile: bool, mesh=None, channels: int | None = None,
+                 channel_axis: str = "channel"):
         import jax
 
         self.blocks = blocks
         self.bid = bid
+        self._fence = None
+        self.mesh = mesh
+        self.channels = channels
         in_seg = {id(b) for b in blocks}
 
         def _is_complex(block: Block, oi: int) -> bool:
@@ -136,32 +147,94 @@ class Segment:
 
             return new_states, {ok: boundary(ok) for ok in self.out_keys}
 
-        if jit_compile:
-            self.fn = jax.jit(step, donate_argnums=(0,))
-        else:
-            self.fn = step
+        if mesh is not None:
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        # Initial states are created inside a jitted thunk: complex zeros
-        # cannot be created eagerly on TPU backends (boundary constraint),
-        # but as jit outputs they are device-resident and never transferred.
-        self.states = jax.jit(
-            lambda: {bid[id(b)]: b.init_state() for b in blocks})()
+            if not jit_compile:
+                raise ValueError("mesh execution requires mode='fused'")
+            sh = NamedSharding(mesh, P(channel_axis))
+            c = channels or mesh.shape[channel_axis]
+            self.fn = jax.jit(jax.vmap(step), donate_argnums=(0,),
+                              in_shardings=(sh, sh), out_shardings=(sh, sh))
+
+            def init_banked():
+                st = {bid[id(b)]: b.init_state() for b in blocks}
+                return jax.tree.map(
+                    lambda l: jnp.broadcast_to(jnp.asarray(l),
+                                               (c,) + jnp.shape(l)), st)
+            self.states = jax.jit(init_banked, out_shardings=sh)()
+        else:
+            if jit_compile:
+                self.fn = jax.jit(step, donate_argnums=(0,))
+            else:
+                self.fn = step
+
+            # Initial states are created inside a jitted thunk: complex
+            # zeros cannot be created eagerly on TPU backends (boundary
+            # constraint), but as jit outputs they are device-resident and
+            # never transferred.
+            self.states = jax.jit(
+                lambda: {bid[id(b)]: b.init_state() for b in blocks})()
 
     def run(self, ext: dict):
         self.states, outs = self.fn(self.states, ext)
         return outs
 
+    def drain(self):
+        """Block until every dispatched step has executed.
+
+        ``jax.block_until_ready`` does not synchronize on some tunneled TPU
+        transports — only a host fetch proves completion — so the fence is a
+        jitted float32 scalar derived from the carried states (complex leaves
+        are realed in-graph: complex arrays cannot cross the boundary),
+        fetched with a single ~RTT round trip per drain, not per chunk.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._fence is None:
+            def fence(states):
+                acc = jnp.float32(0)
+                for leaf in jax.tree.leaves(states):
+                    if leaf.size == 0:
+                        continue
+                    v = jnp.real(leaf.reshape(-1)[0])
+                    acc = acc + v.astype(jnp.float32)
+                return acc
+            self._fence = jax.jit(fence)
+        return float(self._fence(self.states))
+
 
 class Runner:
     def __init__(self, top: CompositeBlock, mode: str = "fused",
-                 chunk_size: int | None = None, trace: bool | None = None):
-        self.graph = Graph(top, chunk_size=chunk_size)
+                 chunk_size: int | None = None, trace: bool | None = None,
+                 optimize: bool | None = None, mesh=None,
+                 channels: int | None = None,
+                 channel_axis: str = "channel"):
+        self.graph = Graph(top, chunk_size=chunk_size, optimize=optimize)
         self.mode = mode
+        self.mesh = mesh
+        if mesh is not None and channels is None:
+            channels = int(mesh.shape[channel_axis])
+        self.channels = channels
         if trace is None:
             trace = trace_mod.enabled_by_env()
         self.tracer = trace_mod.Tracer() if trace else None
         g = self.graph
         self.bid = {id(b): f"b{i}" for i, b in enumerate(g.order)}
+
+        if mesh is not None:
+            # Banked execution: every device block runs vmapped over a
+            # leading channel axis sharded across the mesh; mid-graph host
+            # stages would break the [C, T] batch contract.
+            for b in g.order:
+                if (b.domain == "host" and b.outputs
+                        and not isinstance(b, HostSourceBlock)):
+                    raise NotImplementedError(
+                        f"mesh execution: host block {b.name} with outputs "
+                        f"is not supported in a channel bank (only device "
+                        f"blocks and terminal sinks)")
 
         # Build one segment per stage that contains device blocks.
         self.stage_plan: list[tuple[Segment | None, list[Block]]] = []
@@ -171,7 +244,9 @@ class Runner:
             host = [b for b in g.order
                     if g.stage[id(b)] == s and b.domain == "host"
                     and not isinstance(b, HostSourceBlock)]
-            seg = Segment(g, dev, self.bid, mode == "fused") if dev else None
+            seg = Segment(g, dev, self.bid, mode == "fused", mesh=mesh,
+                          channels=channels,
+                          channel_axis=channel_axis) if dev else None
             self.stage_plan.append((seg, host))
 
         self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
@@ -218,11 +293,13 @@ class Runner:
                     nvalid[f"{self.bid[id(s)]}.{oi}"] = len(arr)
                     continue
                 arr = np.asarray(arr)
-                nv = len(arr)
+                nv = arr.shape[-1]  # time is the last axis (banked sources
+                # produce [C, n] — see BankSource)
                 if nv < want:
                     eof = True
-                    pad = np.zeros(want - nv, dtype=arr.dtype)
-                    arr = np.concatenate([arr, pad])
+                    pad = np.zeros(arr.shape[:-1] + (want - nv,),
+                                   dtype=arr.dtype)
+                    arr = np.concatenate([arr, pad], axis=-1)
                 values[f"{self.bid[id(s)]}.{oi}"] = arr
                 nvalid[f"{self.bid[id(s)]}.{oi}"] = nv
         if any(nvalid.get(f"{self.bid[id(s)]}.0", 1) == 0
@@ -234,7 +311,11 @@ class Runner:
         import jax.numpy as jnp
 
         g = self.graph
-        ext = {k: jnp.asarray(host_to_payload(values[k]))
+        # With a mesh, hand numpy payloads straight to the sharded jit (it
+        # splits the host buffer across devices per in_shardings); a
+        # jnp.asarray here would first land the whole chunk on one device.
+        ext = {k: (host_to_payload(values[k]) if seg.mesh is not None
+                   else jnp.asarray(host_to_payload(values[k])))
                if isinstance(values[k], np.ndarray) else values[k]
                for k in seg.ext_keys}
         outs = seg.run(ext)
@@ -340,7 +421,7 @@ class Runner:
             # Drain the async dispatch queue before cleanup.
             for seg, _ in self.stage_plan:
                 if seg is not None:
-                    jax.block_until_ready(seg.states)
+                    seg.drain()
         except BaseException as exc:
             self.error = exc
             raise

@@ -156,6 +156,145 @@ def fir_direct(x: jnp.ndarray, taps: jnp.ndarray, tail: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Decimating FIR (polyphase framed matmul)
+# ---------------------------------------------------------------------------
+#
+# The graph optimizer (core/optimize.py) fuses FIR -> Downsampler(D) chains
+# into one decimating FIR: only every D-th convolution output is computed,
+# as a framed matmul of B outputs at a time against a banded tap matrix —
+# a D-fold FLOP reduction over filter-then-discard, and the matmul tiles
+# the MXU exactly.  The reference has no analog (its pipeline computes the
+# full-rate FIR and throws 1-1/D of it away in the downsampler process).
+
+def _decim_tap_matrix(h: np.ndarray, b: int, d: int) -> np.ndarray:
+    """Tap matrix T [(b-1)*d + K (padded to b*d + P), b] with
+    T[j*d + K-1 - k, j] = h[k], so frames @ T yields every d-th causal
+    convolution output."""
+    h = np.asarray(h)
+    k = h.shape[0]
+    w = b * d + max(k - d, 0)
+    t = np.zeros((w, b), h.dtype)
+    for j in range(b):
+        t[j * d + k - 1:j * d - 1 if j * d >= 1 else None:-1, j] = h
+    return t
+
+
+def fir_decimate_init_state(num_taps: int, dtype, batch_shape: tuple = ()):
+    return jnp.zeros(batch_shape + (max(num_taps - 1, 0),), dtype=dtype)
+
+
+def _fir_decimate_real(x: jnp.ndarray, tmat: jnp.ndarray, k: int, d: int):
+    """x [..., (K-1) + N] real (tail prepended), tmat from _decim_tap_matrix.
+    Returns y [..., N//d]."""
+    b = tmat.shape[1]
+    w = tmat.shape[0]
+    p = w - b * d
+    lead = x.shape[:-1]
+    n = x.shape[-1] - (k - 1)
+    n_out = n // d
+    nf = -(-n_out // b)
+    bb = b * d
+    need = nf * bb + p
+    xin = x
+    if xin.shape[-1] < need:
+        xin = jnp.concatenate(
+            [xin, jnp.zeros(lead + (need - xin.shape[-1],), x.dtype)],
+            axis=-1)
+    else:
+        xin = xin[..., :need]
+    x2 = jnp.concatenate(
+        [xin, jnp.zeros(lead + ((nf + 1) * bb - need,), x.dtype)],
+        axis=-1).reshape(lead + (nf + 1, bb))
+    fr = jnp.concatenate([x2[..., :-1, :], x2[..., 1:, :p]], axis=-1) \
+        if p else x2[..., :-1, :]
+    y = jnp.einsum("...fw,wb->...fb", fr, tmat,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(lead + (nf * b,))[..., :n_out]
+
+
+def fir_decimate(x: jnp.ndarray, taps: jnp.ndarray | np.ndarray,
+                 tail: jnp.ndarray, d: int, block: int = 128):
+    """Fused causal FIR + decimate-by-d: y[j] = sum_k h[k] x[j*d - k].
+
+    x: [..., N] with N % d == 0 (real or complex); taps [K] (real or
+    complex, K <= block*d + d); tail: [..., K-1] carried input samples.
+    Returns (y [..., N // d], new_tail).
+    """
+    taps_np = np.asarray(taps)
+    k = taps_np.shape[0]
+    if k > block * d + d:
+        raise ValueError(f"fir_decimate: taps {k} too long for block {block} "
+                         f"x decimation {d}")
+    xin = jnp.concatenate([tail.astype(x.dtype), x], axis=-1) if k > 1 else x
+    x_c = jnp.iscomplexobj(x)
+    t_c = np.iscomplexobj(taps_np)
+    if not t_c:
+        tmat = jnp.asarray(_decim_tap_matrix(
+            taps_np.astype(np.float32), block, d))
+        if x_c:
+            yr = _fir_decimate_real(xin.real, tmat, k, d)
+            yi = _fir_decimate_real(xin.imag, tmat, k, d)
+            y = lax.complex(yr, yi)
+        else:
+            y = _fir_decimate_real(xin, tmat, k, d)
+    else:
+        tr = jnp.asarray(_decim_tap_matrix(
+            taps_np.real.astype(np.float32), block, d))
+        ti = jnp.asarray(_decim_tap_matrix(
+            taps_np.imag.astype(np.float32), block, d))
+        if x_c:
+            xr, xi = xin.real, xin.imag
+            yr = (_fir_decimate_real(xr, tr, k, d)
+                  - _fir_decimate_real(xi, ti, k, d))
+            yi = (_fir_decimate_real(xr, ti, k, d)
+                  + _fir_decimate_real(xi, tr, k, d))
+        else:
+            yr = _fir_decimate_real(xin, tr, k, d)
+            yi = _fir_decimate_real(xin, ti, k, d)
+        y = lax.complex(yr, yi)
+    new_tail = xin[..., xin.shape[-1] - (k - 1):] if k > 1 else tail
+    return y, new_tail
+
+
+# ---------------------------------------------------------------------------
+# Tap algebra (graph-optimizer helpers, host-side float64)
+# ---------------------------------------------------------------------------
+
+def combine_taps(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Taps of the cascade of two FIR filters (= convolution of taps)."""
+    return np.convolve(np.asarray(h1, dtype=np.complex128 if
+                                  (np.iscomplexobj(h1) or np.iscomplexobj(h2))
+                                  else np.float64),
+                       np.asarray(h2, dtype=np.complex128 if
+                                  (np.iscomplexobj(h1) or np.iscomplexobj(h2))
+                                  else np.float64))
+
+
+def iir_to_fir_taps(b_taps: np.ndarray, a_taps: np.ndarray,
+                    tol: float = 1e-9, max_len: int = 4096):
+    """Truncated impulse response of a stable IIR b/a, or None if the filter
+    does not decay below ``tol`` (relative to its peak) within ``max_len``
+    samples.  Used by the graph optimizer to fold short IIRs (deemphasis,
+    single-pole filters) into neighboring FIR stages within float32 noise."""
+    b = np.asarray(b_taps, dtype=np.float64)
+    a = np.asarray(a_taps, dtype=np.float64)
+    import scipy.signal
+    impulse = np.zeros(max_len)
+    impulse[0] = 1.0
+    h = scipy.signal.lfilter(b, a, impulse)
+    peak = np.max(np.abs(h))
+    if peak == 0:
+        return np.zeros(1, np.float64)
+    idx = np.nonzero(np.abs(h) > tol * peak)[0]
+    if len(idx) == 0:
+        return np.zeros(1, np.float64)
+    last = idx[-1]
+    if last >= max_len - 1:
+        return None  # did not decay; not representable
+    return h[:last + 1]
+
+
+# ---------------------------------------------------------------------------
 # FFT overlap-save
 # ---------------------------------------------------------------------------
 

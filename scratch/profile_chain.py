@@ -30,12 +30,12 @@ tail = jnp.zeros((C, 127), jnp.float32)
 def timeit(name, fn, *args, reps=3):
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    float(out)  # host fetch = proof of completion on tunneled backends
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         out = f(*args)
-        jax.block_until_ready(out)
+        float(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{name:28s} {best*1e3:8.2f} ms   {NS/best/1e9:8.3f} GS/s")
     return best
