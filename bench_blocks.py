@@ -214,9 +214,18 @@ def benchmarks():
          simple(null_c, lambda: lr.ComplexToRealBlock())),
         ("Complex to Imaginary", 555.6,
          simple(null_c, lambda: lr.ComplexToImagBlock())),
-        ("Float to Complex", 397.7,
-         simple(null_f, lambda: lr.FloatToComplexBlock())),
     ]
+
+    def float_to_complex():
+        top = lr.CompositeBlock()
+        blk = lr.FloatToComplexBlock()
+        s1, s2 = null_f(), null_f()
+        top.connect(s1, "out", blk, "real")
+        top.connect(s2, "out", blk, "imag")
+        top.connect(blk, lr.BenchmarkSink())
+        return top, blk
+
+    rows.append(("Float to Complex", 397.7, float_to_complex))
 
     # File sources need on-disk fixtures large enough not to EOF mid-trial.
     n_file = 4 << 20
@@ -267,10 +276,19 @@ def bench_one(name, baseline, build, duration=3.0):
     """Dispatch K chunks asynchronously, then drain: one device fence per
     trial, so the high per-fetch RTT of tunneled backends is amortized and
     the measured number is device throughput, not link latency."""
+    from luaradio_tpu.core.block import SinkBlock
+    from luaradio_tpu.core.composite import PortRef
     from luaradio_tpu.core.runtime import Runner
     top, blk = build()
     runner = Runner(top, mode="fused", chunk_size=CHUNK)
-    n_out = runner.graph.out_chunk[id(blk)]
+    if id(blk) in runner.graph.out_chunk:
+        n_out = runner.graph.out_chunk[id(blk)]
+    else:
+        # the graph optimizer fused the block-under-test away (e.g. IIR ->
+        # decimating FIR); count at the sink's input edge instead
+        sink = next(b for b in runner.graph.order if isinstance(b, SinkBlock))
+        src = runner.graph.edges[PortRef(sink, 0)]
+        n_out = runner.graph.out_chunk[id(src.block)]
     t = blk.get_output_type() if blk.outputs else blk.get_input_type()
 
     def drain():

@@ -420,7 +420,9 @@ class DecimatingFIRBlock(SignalBlock):
             len(self.taps), self.get_input_type().dtype)
 
     def process(self, state, x):
-        y, state = fir_ops.fir_decimate(x, self.taps, state, self.decimation)
+        y, state = fir_ops.fir_decimate(
+            x, self.taps, state, self.decimation,
+            block=fir_ops.decim_block_size(self.decimation))
         return state, y
 
     def fir_equivalent(self):

@@ -19,7 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from luaradio_tpu.core.block import HostBlock, Input, Output, SignalBlock
-from luaradio_tpu.ops.layout import phase_merge, phase_split, upsample_zero_stuff
+from luaradio_tpu.ops.layout import (decimate_pick, phase_merge,
+                                     phase_split, upsample_zero_stuff)
 from luaradio_tpu.types import Bit, Byte, ComplexFloat32, Float32
 
 
@@ -43,7 +44,7 @@ class DownsamplerBlock(SignalBlock):
     def process(self, state, x):
         # ops.layout lowers the stride-M pick to an MXU selection matmul on
         # TPU (a strided lane slice is ~6x slower than a raw read).
-        return state, phase_split(x, self.factor)[0]
+        return state, decimate_pick(x, self.factor)
 
 
 class UpsamplerBlock(SignalBlock):

@@ -21,7 +21,7 @@ class _NetworkSinkBase(SinkBlock):
         self.transport = transport
         self.address = address
         self.reconnect = reconnect
-        if format in ("raw", "json", None):
+        if format in ("raw", "json", "msgpack", None):
             self.format = None
             self.mode = format or "raw"
         else:
@@ -35,6 +35,13 @@ class _NetworkSinkBase(SinkBlock):
             dump = JSONSink._dump
             vals = x if isinstance(x, (list, tuple)) else np.asarray(x).reshape(-1)
             return "".join(dump(self, v) + "\n" for v in vals).encode()
+        if self.mode == "msgpack":
+            # object samples in the reference's exact pipe framing: u32-BE
+            # length + MessagePack payload (object.lua:106-201)
+            from luaradio_tpu.utils.msgpack import serialize_framed
+            vals = x if isinstance(x, (list, tuple)) \
+                else np.asarray(x).reshape(-1)
+            return b"".join(serialize_framed(v) for v in vals)
         arr = np.asarray(x)
         if self.mode == "raw":
             return np.ascontiguousarray(arr).tobytes()

@@ -30,7 +30,7 @@ class _NetworkSourceBase(HostSourceBlock):
         self.address = address
         self.reconnect = reconnect
         self._residue = b""
-        if format in ("raw", "json", None):
+        if format in ("raw", "json", "msgpack", None):
             self.format = None
             self.mode = format or "raw"
         else:
@@ -54,7 +54,7 @@ class _NetworkSourceBase(HostSourceBlock):
             return self.format.itemsize * mult
         if self.mode == "raw":
             return self.data_type.dtype.itemsize
-        return 1  # json: byte stream
+        return 1  # json/msgpack: byte stream
 
     def read(self, n: int):
         self._ensure_connected()
@@ -73,6 +73,19 @@ class _NetworkSourceBase(HostSourceBlock):
             lines = buf.split(b"\n")
             self._residue = lines[-1]
             out = [_json.loads(ln) for ln in lines[:-1] if ln.strip()]
+            return out if out else np.zeros(0, dtype=object)
+        if self.mode == "msgpack":
+            # framed objects: u32-BE length + MessagePack payload
+            # (reference object.lua:106-201 wire format)
+            from luaradio_tpu.utils.msgpack import deserialize_framed
+            out, pos = [], 0
+            while True:
+                obj, pos2 = deserialize_framed(buf, pos)
+                if pos2 == pos:
+                    break
+                out.append(obj)
+                pos = pos2
+            self._residue = buf[pos:]
             return out if out else np.zeros(0, dtype=object)
         count = len(buf) // item
         self._residue = buf[count * item:]

@@ -146,7 +146,8 @@ def optimize_graph(graph) -> int:
                 if not (len(chain) == 1 and isinstance(chain[0],
                                                        IIRFilterBlock)):
                     continue
-            if len(taps) > 128 * decim + decim:
+            from luaradio_tpu.ops.fir import decim_block_size
+            if len(taps) > decim_block_size(decim) * decim + decim:
                 continue  # too long for the framed matmul; leave as-is
 
             in_type = chain[0].get_input_type()

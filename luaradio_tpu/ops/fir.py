@@ -183,6 +183,13 @@ def fir_decimate_init_state(num_taps: int, dtype, batch_shape: tuple = ()):
     return jnp.zeros(batch_shape + (max(num_taps - 1, 0),), dtype=dtype)
 
 
+def decim_block_size(d: int) -> int:
+    """Output-frame height for the decimating matmul: larger frames
+    amortize the (K-1)-sample halo (the frame-build read amplification is
+    1 + (K-1)/(B*d)), bounded so the tap matrix stays a few MB of VMEM."""
+    return 512 if d == 1 else (256 if d <= 4 else 128)
+
+
 def _fir_decimate_real(x: jnp.ndarray, tmat: jnp.ndarray, k: int, d: int):
     """x [..., (K-1) + N] real (tail prepended), tmat from _decim_tap_matrix.
     Returns y [..., N//d]."""

@@ -54,20 +54,56 @@ def _fast_ok(x: jnp.ndarray, k: int) -> bool:
 
 
 def phase_split(x: jnp.ndarray, k: int) -> list[jnp.ndarray]:
-    """[..., N] -> k phase arrays [..., N//k] with phase p = x[..., p::k]."""
+    """[..., N] -> k phase arrays [..., N//k] with phase p = x[..., p::k].
+
+    N need not align to the 128k matmul block: the bulk goes through the
+    MXU and the (tiny) ragged tail through the strided fallback."""
     lead = x.shape[:-1]
     n = x.shape[-1]
     if k == 1:
         return [x]
-    if _fast_ok(x, k):
-        nb = n // (_LANES * k)
-        fr = x.reshape(lead + (nb, _LANES * k))
+    blk = _LANES * k
+    nb = n // blk
+    if (_use_mxu() and k <= _MAX_K and nb >= 2 and x.dtype.kind in "fc"
+            and n % k == 0):
+        main = x[..., :nb * blk]
+        fr = main.reshape(lead + (nb, blk))
         y = jnp.einsum("...nc,cd->...nd", fr,
                        jnp.asarray(_phase_matrix(k), dtype=np.float32),
                        precision=lax.Precision.HIGHEST)
-        return [y[..., p * _LANES:(p + 1) * _LANES].reshape(lead + (n // k,))
-                for p in range(k)]
+        parts = [y[..., p * _LANES:(p + 1) * _LANES]
+                 .reshape(lead + (nb * _LANES,)) for p in range(k)]
+        if nb * blk != n:
+            tail = x[..., nb * blk:]
+            parts = [jnp.concatenate([parts[p], tail[..., p::k]], axis=-1)
+                     for p in range(k)]
+        return parts
     return [x[..., p::k] for p in range(k)]
+
+
+def decimate_pick(x: jnp.ndarray, k: int, phase: int = 0) -> jnp.ndarray:
+    """x[..., phase::k] alone — one [.., nb, 128k] x [128k, 128] matmul
+    (cheaper than materializing all k phases when only one is kept, e.g.
+    DownsamplerBlock)."""
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    if k == 1:
+        return x
+    blk = _LANES * k
+    nb = n // blk
+    if (_use_mxu() and k <= _MAX_K and nb >= 2 and x.dtype.kind in "fc"
+            and n % k == 0):
+        s = np.zeros((blk, _LANES), np.float32)
+        for j in range(_LANES):
+            s[k * j + phase, j] = 1.0
+        main = x[..., :nb * blk].reshape(lead + (nb, blk))
+        y = jnp.einsum("...nc,cd->...nd", main, jnp.asarray(s),
+                       precision=lax.Precision.HIGHEST)
+        y = y.reshape(lead + (nb * _LANES,))
+        if nb * blk != n:
+            y = jnp.concatenate([y, x[..., nb * blk + phase::k]], axis=-1)
+        return y
+    return x[..., phase::k]
 
 
 def phase_merge(xs: list[jnp.ndarray]) -> jnp.ndarray:
@@ -79,26 +115,53 @@ def phase_merge(xs: list[jnp.ndarray]) -> jnp.ndarray:
     m = x0.shape[-1]
     if k == 1:
         return x0
-    if (_use_mxu() and k <= _MAX_K
-            and m % _LANES == 0 and m >= 4 * _LANES
+    mb = m // _LANES
+    if (_use_mxu() and k <= _MAX_K and mb >= 2
             and all(x.dtype.kind in "fc" for x in xs)):
-        nb = m // _LANES
+        mm = mb * _LANES
         cat = jnp.concatenate(
-            [x.reshape(lead + (nb, _LANES)) for x in xs], axis=-1)
+            [x[..., :mm].reshape(lead + (mb, _LANES)) for x in xs], axis=-1)
         y = jnp.einsum("...nc,dc->...nd", cat,
                        jnp.asarray(_phase_matrix(k), dtype=np.float32),
                        precision=lax.Precision.HIGHEST)
-        return y.reshape(lead + (m * k,))
+        y = y.reshape(lead + (mm * k,))
+        if mm != m:
+            tail = jnp.stack([x[..., mm:] for x in xs], axis=-1)
+            y = jnp.concatenate(
+                [y, tail.reshape(lead + ((m - mm) * k,))], axis=-1)
+        return y
     p = jnp.stack(xs, axis=-1)
     return p.reshape(lead + (m * k,))
 
 
 def upsample_zero_stuff(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[..., N] -> [..., N*k] with y[n*k] = x[n], zeros elsewhere."""
+    """[..., N] -> [..., N*k] with y[n*k] = x[n], zeros elsewhere — one
+    [.., nb, 128] x [128, 128k] matmul (no zero-plane materialization)."""
     if k == 1:
         return x
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    nb = n // _LANES
+    if (_use_mxu() and k <= _MAX_K and nb >= 2 and x.dtype.kind in "fc"):
+        u = np.zeros((_LANES, _LANES * k), np.float32)
+        for j in range(_LANES):
+            u[j, k * j] = 1.0
+        nn = nb * _LANES
+        main = x[..., :nn].reshape(lead + (nb, _LANES))
+        y = jnp.einsum("...nc,cd->...nd", main, jnp.asarray(u),
+                       precision=lax.Precision.HIGHEST)
+        y = y.reshape(lead + (nn * k,))
+        if nn != n:
+            tail = jnp.stack(
+                [x[..., nn:]] + [jnp.zeros_like(x[..., nn:])] * (k - 1),
+                axis=-1)
+            y = jnp.concatenate(
+                [y, tail.reshape(lead + ((n - nn) * k,))], axis=-1)
+        return y
     zeros = jnp.zeros_like(x)
-    return phase_merge([x] + [zeros] * (k - 1))
+    p = jnp.stack([x] + [zeros] * (k - 1), axis=-1)
+    return p.reshape(lead + (n * k,))
 
 
-__all__ = ["phase_split", "phase_merge", "upsample_zero_stuff"]
+__all__ = ["phase_split", "phase_merge", "upsample_zero_stuff",
+           "decimate_pick"]

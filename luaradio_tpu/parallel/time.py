@@ -114,6 +114,29 @@ def linrec_first_order_sharded(u: jnp.ndarray, a, y0, axis_name: str):
     return acum * carry_in[..., None] + ucum
 
 
+def delay_sharded(x: jnp.ndarray, k: int, axis_name: str,
+                  carry=None) -> jnp.ndarray:
+    """y[n] = x[n-k] over a time-sharded stream: the first k samples of each
+    shard come from the left neighbor (``carry`` = the global delay line,
+    applied on shard 0 — reference delay.lua keeps the same line)."""
+    halo = left_halo(x, k, axis_name)
+    if carry is not None:
+        idx = lax.axis_index(axis_name)
+        halo = jnp.where(idx == 0, carry.astype(halo.dtype), halo)
+    return jnp.concatenate([halo, x[..., :-k]], axis=-1)
+
+
+def pilot_recovery_sharded(x: jnp.ndarray, taps: jnp.ndarray, mult: int,
+                           axis_name: str, tail=None) -> jnp.ndarray:
+    """Time-sharded vectorized pilot recovery: complex bandpass FIR (halo
+    exchange) + magnitude normalization + integer phase multiplication —
+    the shardable alternative to the reference's sequential pilot PLL
+    (pll.lua:138-167).  See blocks/signal/carrier.py PilotRecoveryBlock."""
+    from luaradio_tpu.blocks.signal.carrier import pilot_normalize_multiply
+    p = fir_sharded(x, taps, axis_name, tail=tail)
+    return pilot_normalize_multiply(p, mult)
+
+
 def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Distributed cumulative sum along a time-sharded axis (phase
     accumulators in FM modulators)."""
@@ -128,4 +151,4 @@ def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 __all__ = ["left_halo", "fir_sharded", "fir_fft_sharded",
            "discriminator_sharded", "linrec_first_order_sharded",
-           "cumsum_sharded"]
+           "cumsum_sharded", "delay_sharded", "pilot_recovery_sharded"]

@@ -108,10 +108,11 @@ def number_to_bits(value: int, length: int, msb_first: bool = True) -> np.ndarra
 class ObjectSampleType(SampleType):
     """Type for variable-size host-side object samples.
 
-    The reference serializes these with MessagePack over pipes
-    (/root/reference/radio/types/object.lua:106-201).  In the TPU framework
-    object samples only exist host-side (protocol framer/decoder outputs), so
-    the wire format is JSON (used by JSONSink / network sinks).
+    Wire format parity with the reference (object.lua:106-201): each sample
+    serializes as a u32 big-endian length header + MessagePack payload
+    (utils/msgpack.py, self-contained codec); JSON is also available for
+    line-oriented sinks (to_json/from_json, object.lua:70-94).  Object
+    samples flow host-side (protocol framer/decoder outputs).
     """
 
     def __init__(self, name: str, factory: Callable[..., Any] | None = None):
@@ -127,6 +128,42 @@ class ObjectSampleType(SampleType):
         if hasattr(obj, "to_json"):
             return obj.to_json()
         return json.dumps(obj)
+
+    def from_json(self, s: str):
+        d = json.loads(s)
+        if self.factory is not None and isinstance(d, dict):
+            return self.factory(**d)
+        return d
+
+    # -- serialize/deserialize contract (cstruct.lua:87-126 analogs) -------
+    def serialize(self, obj) -> bytes:
+        from luaradio_tpu.utils.msgpack import serialize_framed
+        return serialize_framed(obj)
+
+    def deserialize(self, buf: bytes, offset: int = 0):
+        """One framed object at buf[offset:] -> (obj, next_offset); obj is
+        rebuilt through the type's factory when one is registered."""
+        from luaradio_tpu.utils.msgpack import deserialize_framed
+        obj, pos = deserialize_framed(buf, offset)
+        if obj is not None and self.factory is not None \
+                and isinstance(obj, dict):
+            try:
+                obj = self.factory(**obj)
+            except TypeError:
+                pass  # foreign dict shape: hand it back as-is
+        return obj, pos
+
+    def deserialize_count(self, buf: bytes) -> int:
+        """Number of complete framed objects in buf
+        (reference deserialize_count, object.lua:183-201)."""
+        from luaradio_tpu.utils.msgpack import deserialize_framed
+        count, pos = 0, 0
+        while True:
+            _, pos2 = deserialize_framed(buf, pos)
+            if pos2 == pos:
+                return count
+            count += 1
+            pos = pos2
 
 
 def object_type(name: str) -> ObjectSampleType:

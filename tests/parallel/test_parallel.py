@@ -187,3 +187,16 @@ def test_fir_fft_sharded_matches_serial(time_mesh):
     exp, _ = fir_fft(jnp.asarray(x), hf,
                      fir_fft_init_state(l, np.complex64), False)
     assert np.max(np.abs(y - np.asarray(exp))) < 1e-3
+
+
+def test_sharding_structural_overhead():
+    """Fixed total work, sharded over the virtual mesh vs unsharded: the
+    collective/partition overhead must stay bounded (on shared-core virtual
+    devices real speedup is impossible, but the sharded program must not be
+    meaningfully SLOWER — the honest single-host scaling gate; see
+    bench_scaling.py / SCALING_r02.json for the recorded artifact)."""
+    import bench_scaling
+
+    summary = bench_scaling.run(max_devices=8, emit=lambda s: None,
+                                total_t=8 * 8192 * 8)
+    assert summary["max_overhead_vs_single"] < 0.30, summary["results"]
