@@ -345,7 +345,15 @@ class Graph:
         base_rate = sources[0].get_rate()
         for s in sources:
             ratio = s.get_rate() / base_rate
-            out_q[id(s)] = Fraction(ratio).limit_denominator(1 << 20)
+            q = Fraction(ratio).limit_denominator(1 << 20)
+            # Guard the rational snap: an irrational/near-miss rate pair
+            # would silently quantize chunk sizes and skew timing.
+            if ratio and abs(float(q) / ratio - 1.0) > 1e-9:
+                raise ValueError(
+                    f"{s.name}: source rate ratio {ratio!r} (vs "
+                    f"{sources[0].name}) is not a small rational; "
+                    f"multi-source graphs need commensurable rates")
+            out_q[id(s)] = q
 
         for b in self.order:
             if not b.inputs:
@@ -367,6 +375,12 @@ class Graph:
             # base * q must be a positive integer divisible by m
             d = (q.denominator * m) // math.gcd(q.numerator, q.denominator * m)
             required = required // math.gcd(required, d) * d
+            if required > (1 << 26):
+                raise ValueError(
+                    f"chunk planning: combined rate-ratio/chunk-multiple "
+                    f"constraints force chunks of >= {required} samples "
+                    f"(at {b.name}); use commensurable rates or rational "
+                    f"resampling with smaller factors")
 
         max_q = max(out_q[id(b)] for b in self.order)
         base = max(1, round(target / float(max_q)))

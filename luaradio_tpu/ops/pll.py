@@ -134,8 +134,12 @@ def pll_pallas(x_pair: jnp.ndarray, state: jnp.ndarray, alpha, beta,
                fmin, fmax, mult, interpret: bool | None = None):
     """Run the PLL over x_pair [2, N] float32 with state [3] float32.
 
-    Returns (out_pair [2, N], err [1, N], new_state [3]).  N must be a
-    multiple of 512 (the internal block size).
+    Returns (out_pair [2, N], err [1, N], new_state [3]).  When N is a
+    multiple of the internal block size (``_K`` = 128) the grid walks
+    N/_K blocks with the loop fully unrolled per block; otherwise the
+    whole chunk runs as one grid step (correct, but compile time grows
+    with N — the graph planner's chunk sizes are powers of two, so the
+    blocked path is the one that runs in practice).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

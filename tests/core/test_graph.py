@@ -119,3 +119,45 @@ def test_hierarchical_composite_aliasing():
     assert names == ["AddBlock", "NopSink", "SignalSource"]
     add = [b for b in g.blocks if type(b).__name__ == "AddBlock"][0]
     assert add.get_rate() == 100.0
+
+
+def test_incommensurable_source_rates_rejected():
+    """An irrational rate pair must fail loudly, not silently quantize
+    (chunk-planner guard)."""
+    import math
+    import pytest
+    from luaradio_tpu import (CompositeBlock, MultiplyBlock, NopSink,
+                              ZeroSource)
+    from luaradio_tpu.core.composite import Graph
+    from luaradio_tpu.types import Float32
+
+    top = CompositeBlock()
+    s1 = ZeroSource(Float32, 1e6)
+    s2 = ZeroSource(Float32, 1e6 * math.pi / 3.0)
+    m = MultiplyBlock()
+    top.connect(s1, "out", m, "in1")
+    top.connect(s2, "out", m, "in2")
+    top.connect(m, NopSink())
+    with pytest.raises(ValueError):
+        Graph(top, chunk_size=4096)
+
+
+def test_coprime_chunk_multiples_guarded():
+    """Pathological coprime chunk-multiple combinations raise a diagnostic
+    instead of silently exploding chunk sizes."""
+    import pytest
+    from luaradio_tpu import (CompositeBlock, DownsamplerBlock, NopSink,
+                              UpsamplerBlock, ZeroSource)
+    from luaradio_tpu.core.composite import Graph
+    from luaradio_tpu.types import Float32
+
+    top = CompositeBlock()
+    chain = [ZeroSource(Float32, 1e6)]
+    # primes whose product exceeds the planner's 2^26 guard
+    for p in (251, 509, 1021, 2039):
+        chain.append(UpsamplerBlock(p))
+        chain.append(DownsamplerBlock(p + 2))
+    chain.append(NopSink())
+    top.connect(*chain)
+    with pytest.raises(ValueError, match="chunk planning|chunk"):
+        Graph(top, chunk_size=4096)
