@@ -183,6 +183,18 @@ class Block:
             raise RuntimeError(f"{self.name}: rate not set")
         return self.input_rate * self.get_rate_ratio()
 
+    # -- batching ----------------------------------------------------------
+    def out_batch_shape(self, in_batches: Sequence[tuple]) -> tuple:
+        """Leading (batch/channel) axes of this block's outputs, given its
+        inputs' batch shapes.  Device blocks broadcast over leading axes
+        (last axis is time); batch-PRODUCING blocks (ChannelizerBlock)
+        override this to add axes.  The graph propagates batch shapes so
+        carried state is allocated per batch element (core/composite.py)."""
+        batches = [tuple(b) for b in in_batches]
+        if not batches:
+            return ()
+        return max(batches, key=len)
+
     # -- chunking ----------------------------------------------------------
     def chunk_multiple(self) -> int:
         """Required divisor of the per-call input chunk length.  The graph

@@ -231,9 +231,25 @@ class Graph:
         if optimize is None:
             optimize = opt.enabled_by_env()
         self.n_fusions = opt.optimize_graph(self) if optimize else 0
+        self._propagate_batch()
         self._plan_chunks(chunk_size)
         self._assign_stages()
         self._initialize()
+
+    # -- batch-shape propagation (leading channel axes; see Block.
+    #    out_batch_shape) ------------------------------------------------
+    def _propagate_batch(self):
+        self.batch: dict[int, tuple] = {}      # output batch shape
+        self.in_batch: dict[int, tuple] = {}   # input batch shape (= the
+        # shape carried state is allocated with; a batch-PRODUCING block's
+        # own state is unbatched)
+        for b in self.order:
+            ins = []
+            for i in range(len(b.inputs)):
+                src = self.edges[PortRef(b, i)]
+                ins.append(self.batch[id(src.block)])
+            self.in_batch[id(b)] = max(ins, key=len) if ins else ()
+            self.batch[id(b)] = b.out_batch_shape(ins)
 
     # -- validation (composite.lua:302-341) --------------------------------
     def _validate_connected(self):

@@ -173,9 +173,24 @@ class Segment:
             # Initial states are created inside a jitted thunk: complex
             # zeros cannot be created eagerly on TPU backends (boundary
             # constraint), but as jit outputs they are device-resident and
-            # never transferred.
-            self.states = jax.jit(
-                lambda: {bid[id(b)]: b.init_state() for b in blocks})()
+            # never transferred.  Blocks downstream of a batch-producing
+            # block (ChannelizerBlock) get their state broadcast to their
+            # batch shape (graph._propagate_batch).
+            import jax.numpy as jnp
+
+            def init_all():
+                out = {}
+                for b in blocks:
+                    st = b.init_state()
+                    batch = graph.in_batch.get(id(b), ())
+                    if batch:
+                        st = jax.tree.map(
+                            lambda l: jnp.broadcast_to(
+                                jnp.asarray(l), tuple(batch) + jnp.shape(l)),
+                            st)
+                    out[bid[id(b)]] = st
+                return out
+            self.states = jax.jit(init_all)()
 
     def run(self, ext: dict):
         self.states, outs = self.fn(self.states, ext)
