@@ -412,17 +412,39 @@ class DecimatingFIRBlock(SignalBlock):
         from fractions import Fraction
         return Fraction(1, self.decimation)
 
+    def _use_fft(self) -> bool:
+        # rate-preserving with taps too tall for the framed matmul (e.g. a
+        # slow-pole IIR converted to ~2k FIR taps): FFT overlap-save
+        return (self.decimation == 1
+                and len(self.taps) > fir_ops.decim_block_size(1))
+
     def chunk_multiple(self):
+        if self._use_fft():
+            return fir_ops.fft_frame_length(len(self.taps))
         return self.decimation
 
+    def initialize(self):
+        if self._use_fft():
+            self._l = fir_ops.fft_frame_length(len(self.taps))
+            self._real_fft = (self.get_input_type() == Float32
+                              and not np.iscomplexobj(self.taps))
+            self._h_freq = fir_ops.fir_fft_freq_taps(self.taps, self._l,
+                                                     self._real_fft)
+
     def init_state(self):
-        return fir_ops.fir_decimate_init_state(
-            len(self.taps), self.get_input_type().dtype)
+        dtype = self.get_input_type().dtype
+        if self._use_fft():
+            return fir_ops.fir_fft_init_state(self._l, dtype)
+        return fir_ops.fir_decimate_init_state(len(self.taps), dtype)
 
     def process(self, state, x):
-        y, state = fir_ops.fir_decimate(
-            x, self.taps, state, self.decimation,
-            block=fir_ops.decim_block_size(self.decimation))
+        if self._use_fft():
+            y, state = fir_ops.fir_fft(x, const_complex(self._h_freq), state,
+                                       self._real_fft)
+        else:
+            y, state = fir_ops.fir_decimate(
+                x, self.taps, state, self.decimation,
+                block=fir_ops.decim_block_size(self.decimation))
         return state, y
 
     def fir_equivalent(self):

@@ -147,7 +147,10 @@ def optimize_graph(graph) -> int:
                                                        IIRFilterBlock)):
                     continue
             from luaradio_tpu.ops.fir import decim_block_size
-            if len(taps) > decim_block_size(decim) * decim + decim:
+            if decim == 1:
+                if len(taps) > 4096:
+                    continue  # DecimatingFIRBlock's FFT path caps here
+            elif len(taps) > decim_block_size(decim) * decim + decim:
                 continue  # too long for the framed matmul; leave as-is
 
             in_type = chain[0].get_input_type()

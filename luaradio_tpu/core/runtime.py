@@ -100,16 +100,22 @@ class Segment:
                         self.ext_complex[key] = _is_complex(src.block,
                                                             src.index)
 
-        # Output edges consumed outside the segment.
+        # Output edges consumed outside the segment.  Complex edges whose
+        # only outside consumers never fetch the data (wants_data=False
+        # sinks: Nop, Benchmark) skip the interleave repack — the array
+        # stays a device-resident complex jit output.
         self.out_keys: list[str] = []
         self.out_complex: dict[str, bool] = {}
         for b in blocks:
             for oi in range(len(b.outputs)):
                 consumers = graph.consumers(PortRef(b, oi))
-                if any(id(c.block) not in in_seg for c in consumers):
+                outside = [c for c in consumers if id(c.block) not in in_seg]
+                if outside:
                     key = f"{bid[id(b)]}.{oi}"
                     self.out_keys.append(key)
-                    self.out_complex[key] = _is_complex(b, oi)
+                    lazy = all(isinstance(c.block, SinkBlock)
+                               and not c.block.wants_data for c in outside)
+                    self.out_complex[key] = _is_complex(b, oi) and not lazy
 
         gen_len = {bid[id(b)]: graph.out_chunk[id(b)] for b in blocks
                    if isinstance(b, SignalSourceBlock)}
