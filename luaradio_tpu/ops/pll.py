@@ -51,15 +51,23 @@ def _atan(x):
 
 
 def _atan2(y, x):
-    """float32 atan2 built on :func:`_atan`."""
+    """float32 atan2 built on :func:`_atan`.
+
+    IEEE-754 signed-zero semantics (atan2(+-0, -0) = +-pi, atan2(-0, x>0)
+    = -0, atan2(-0, x<0) = -pi) are preserved so the kernel agrees bit-wise
+    with XLA's arctan2 on cold-start all-zero histories, where products of
+    zeros carry data-dependent signs."""
     pi = np.float32(np.pi)
     safe_x = jnp.where(x == 0, np.float32(1e-30), x)
     base = _atan(y / safe_x)
     base = jnp.where(x < 0,
-                     jnp.where(y < 0, base - pi, base + pi), base)
-    # x == 0 column: +-pi/2 by the sign of y (0 when both are 0)
+                     jnp.where(jnp.signbit(y), base - pi, base + pi), base)
+    # x == 0 column: +-pi/2 by the sign of y; +-pi / +-0 for y = +-0 by
+    # the sign bits of x and y
+    zz = jnp.where(jnp.signbit(x), pi, np.float32(0.0))
+    zz = jnp.where(jnp.signbit(y), -zz, zz)
     v0 = jnp.where(y > 0, np.float32(np.pi / 2),
-                   jnp.where(y < 0, np.float32(-np.pi / 2), np.float32(0.0)))
+                   jnp.where(y < 0, np.float32(-np.pi / 2), zz))
     return jnp.where(x == 0, v0, base)
 
 

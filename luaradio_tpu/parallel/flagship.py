@@ -37,17 +37,47 @@ from luaradio_tpu.utils import filter_design
 
 
 def make_wbfm_mono_step(if_rate: float = 256e3, decimation: int = 8,
-                        tau: float = 75e-6, num_taps: int = 128):
+                        tau: float = 75e-6, num_taps: int = 128,
+                        use_pallas: bool | None = None):
     """Returns (step, init_state) with
-    step(state, x_payload[C, 2T] float32) -> (state, audio[C, T//decim])."""
+    step(state, x_payload[C, 2T] float32) -> (state, audio[C, T//decim]).
+
+    ``use_pallas`` selects the fully-fused Pallas kernel
+    (ops/wbfm_pallas.py — one HBM pass); default: on for TPU-shaped
+    chunks, falling back to the fused-XLA path (identical math) when the
+    chunk does not meet the kernel's tiling constraints."""
     nyq = if_rate / 2.0
     taps_lpf = filter_design.firwin_lowpass(num_taps, 15e3 / nyq)
     b, a = _singlepole_lowpass_coeffs(1.0 / (2 * np.pi * tau), if_rate)
     g = iir_to_fir_taps(b, a, tol=1e-10)
     assert g is not None  # deemphasis pole is strictly inside the circle
     taps = combine_taps(taps_lpf, g).astype(np.float32)
-    k = len(taps)
+    # the Pallas kernel wants a 128-multiple tap count; trailing zeros
+    # change nothing but the (zero-weighted) halo width
+    k = -(-len(taps) // 128) * 128
+    taps = np.concatenate([taps, np.zeros(k - len(taps), np.float32)])
     inv_gain = np.float32(1.0 / (2 * np.pi * 1.25))
+
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() != "cpu"
+
+    if use_pallas:
+        # Fully-fused Pallas kernel: one HBM pass.  State is the last K
+        # complex samples as interleaved payload (the kernel re-derives
+        # the discriminator/FIR history from raw samples).
+        from luaradio_tpu.ops.wbfm_pallas import make_wbfm_pallas
+        tile = 128 * decimation * 8
+        fused = make_wbfm_pallas(taps, decimation, inv_gain, tile=tile)
+
+        def init_state(n_channels: int):
+            return (jnp.zeros((n_channels, 2 * k), jnp.float32),)
+
+        def step(state, x_payload):
+            carry, audio = fused(state[0], x_payload)
+            return (carry,), audio
+
+        return step, init_state
 
     def init_state(n_channels: int):
         c = n_channels

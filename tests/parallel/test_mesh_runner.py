@@ -155,3 +155,49 @@ def test_flagship_step_matches_block_chain():
         assert got[ch].shape == exp.shape
         scale = max(1.0, np.max(np.abs(exp)))
         assert np.max(np.abs(got[ch] - exp)) < 2e-5 * scale
+
+
+def test_wbfm_pallas_kernel_matches_xla():
+    """The fully-fused Pallas kernel (interpret mode on CPU) must match the
+    fused-XLA flagship path across chunk boundaries."""
+    from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
+
+    c, tile = 2, 128 * 8 * 8
+    t = 2 * tile
+    z = (RNG.standard_normal((c, t)) + 1j * RNG.standard_normal((c, t))
+         ).astype(np.complex64)
+
+    outs = {}
+    for use_pallas in (False, True):
+        step, init_state = make_wbfm_mono_step(use_pallas=use_pallas)
+        st = init_state(c)
+        chunks = []
+        for i in range(0, t, tile):
+            pay = np.ascontiguousarray(z[:, i:i + tile]).view(np.float32)
+            st, audio = step(st, pay)
+            chunks.append(np.asarray(audio))
+        outs[use_pallas] = np.concatenate(chunks, axis=-1)
+    a, b = outs[False], outs[True]
+    assert a.shape == b.shape == (c, t // 8)
+    scale = max(np.max(np.abs(a)), 1e-3)
+    assert np.max(np.abs(a - b)) < 2e-5 * scale
+
+
+def test_wbfm_pallas_fallback_on_ragged_chunk():
+    """Chunks that are not a multiple of the kernel tile must route through
+    the XLA fallback (same carry form, same math) — never silently truncate."""
+    from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
+
+    c, t = 2, 128 * 8 * 3  # not a multiple of tile = 128*8*8
+    z = (RNG.standard_normal((c, t)) + 1j * RNG.standard_normal((c, t))
+         ).astype(np.complex64)
+    pay = np.ascontiguousarray(z).view(np.float32)
+
+    step_p, init_p = make_wbfm_mono_step(use_pallas=True)
+    step_x, init_x = make_wbfm_mono_step(use_pallas=False)
+    _, a = step_p(init_p(c), pay)
+    _, b = step_x(init_x(c), pay)
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape == (c, t // 8)
+    scale = max(np.max(np.abs(b)), 1e-3)
+    assert np.max(np.abs(a - b)) < 2e-5 * scale
