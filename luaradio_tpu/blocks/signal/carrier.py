@@ -75,19 +75,38 @@ class PLLBlock(SignalBlock):
         mult = np.float32(self.multiplier)
         two_pi = np.float32(2 * np.pi)
 
-        # Unbatched streams on TPU use the Pallas kernel (ops/pll.py):
-        # the whole feedback loop runs on-core with state in registers.
-        if x.ndim == 1 and jax.default_backend() != "cpu":
-            from luaradio_tpu.ops.pll import pll_pallas
-            phi_l, phi_m, freq = state
-            st = jnp.stack([jnp.asarray(phi_l, jnp.float32),
-                            jnp.asarray(phi_m, jnp.float32),
-                            jnp.asarray(freq, jnp.float32)])
-            xp = jnp.stack([jnp.real(x), jnp.imag(x)])
-            out_pair, err, st2 = pll_pallas(xp, st, alpha, beta, fmin, fmax,
-                                            mult, interpret=False)
-            out = lax.complex(out_pair[0], out_pair[1])
-            return (st2[0], st2[1], st2[2]), (out, err[0])
+        def sequential(state, x):
+            # Unbatched streams on TPU use the Pallas kernel (ops/pll.py):
+            # the whole feedback loop runs on-core, state in registers.
+            if x.ndim == 1 and jax.default_backend() != "cpu":
+                from luaradio_tpu.ops.pll import pll_pallas
+                phi_l, phi_m, freq = state
+                st = jnp.stack([jnp.asarray(phi_l, jnp.float32),
+                                jnp.asarray(phi_m, jnp.float32),
+                                jnp.asarray(freq, jnp.float32)])
+                xp = jnp.stack([jnp.real(x), jnp.imag(x)])
+                out_pair, err, st2 = pll_pallas(xp, st, alpha, beta,
+                                                fmin, fmax, mult,
+                                                interpret=False)
+                out = lax.complex(out_pair[0], out_pair[1])
+                return (st2[0], st2[1], st2[2]), (out, err[0])
+            return self._scan(state, x)
+
+        # Integer multipliers take the parallel-in-time linear fast path
+        # (ops/pll_linear.py) with the sequential kernel as the lax.cond
+        # fallback for unlocked / clamp-railing chunks.
+        if x.ndim == 1 and float(self.multiplier).is_integer() \
+                and self.multiplier >= 1:
+            from luaradio_tpu.ops.pll_linear import pll_hybrid
+            return pll_hybrid(x, state, alpha, beta, fmin, fmax,
+                              int(self.multiplier), sequential)
+        return sequential(state, x)
+
+    def _scan(self, state, x):
+        alpha, beta = self._alpha, self._beta
+        fmin, fmax = self._freq_min, self._freq_max
+        mult = np.float32(self.multiplier)
+        two_pi = np.float32(2 * np.pi)
 
         def step(carry, xi):
             phi_l, phi_m, freq = carry

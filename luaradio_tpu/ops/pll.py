@@ -50,6 +50,13 @@ def _atan(x):
     return sign * (y + r)
 
 
+def _signbit(x):
+    """IEEE sign bit incl. -0, without jnp.signbit: its bitcast lowering
+    is vector-only on Mosaic, and this helper also runs in scalar (SMEM)
+    kernel loops.  1/(+-0) = +-inf distinguishes the zero signs."""
+    return jnp.where(x == 0, np.float32(1.0) / x < 0, x < 0)
+
+
 def _atan2(y, x):
     """float32 atan2 built on :func:`_atan`.
 
@@ -61,11 +68,11 @@ def _atan2(y, x):
     safe_x = jnp.where(x == 0, np.float32(1e-30), x)
     base = _atan(y / safe_x)
     base = jnp.where(x < 0,
-                     jnp.where(jnp.signbit(y), base - pi, base + pi), base)
+                     jnp.where(_signbit(y), base - pi, base + pi), base)
     # x == 0 column: +-pi/2 by the sign of y; +-pi / +-0 for y = +-0 by
     # the sign bits of x and y
-    zz = jnp.where(jnp.signbit(x), pi, np.float32(0.0))
-    zz = jnp.where(jnp.signbit(y), -zz, zz)
+    zz = jnp.where(_signbit(x), pi, np.float32(0.0))
+    zz = jnp.where(_signbit(y), -zz, zz)
     v0 = jnp.where(y > 0, np.float32(np.pi / 2),
                    jnp.where(y < 0, np.float32(-np.pi / 2), zz))
     return jnp.where(x == 0, v0, base)

@@ -1,0 +1,172 @@
+"""Parallel-in-time PLL: the locked loop as a guarded linear scan.
+
+The reference PLL (pll.lua:138-167) is a per-sample nonlinear feedback
+loop — its slowest kernel (5.5 MS/s on an i5, BASELINE.md) and the main
+TPU vectorization challenge (SURVEY §7a).  The sequential Pallas kernel
+(ops/pll.py) runs it on the scalar core at ~6 MS/s — near that core's
+speed of light.  This module breaks the sequential bottleneck by solving
+the loop *in parallel* when it is locked, which is the steady state of
+every real receiver:
+
+The loop's only nonlinearities are (1) the phase-detector wrap
+``err = wrap(theta - phi)`` and (2) the frequency clamp.  While
+``|err| < pi`` and the clamp is inactive — i.e. in lock — the recurrence
+is EXACTLY linear in (phi, freq):
+
+    err[n]  = theta_u[n] - phi[n]          (theta_u: unwrapped input phase)
+    freq'   = freq + beta * err
+    phi'    = phi + freq' + alpha * err
+
+a 2-state affine recurrence s' = A s + b * theta_u.  Because the loop is
+type-2, its particular response to the linear trend of theta_u is the
+trend itself with zero error, so after detrending (theta_u = c0 + c1 n +
+tau, tau small) only the residual drives the system:
+
+    s_h[n+1] = A s_h[n] + b tau[n]
+
+which diagonalizes into two first-order complex recurrences solved with
+the associative scan (ops/scan.py) — O(log N) depth, VPU-parallel.
+
+Large-phase precision is never needed: every output is composed from unit
+phasors of the *wrapped* input phase (x / |x|) times rotations by small
+quantities (err, freq, alpha/beta sums), so nothing above ~|tau| radians
+is ever represented in float32.  The multiplied oscillator uses
+x-hat^multiplier (integer multipliers only — de Moivre on the wrapped
+phase).
+
+Validity is checked *after the fact* on the linear solution: max|err|
+< pi (wrap identity), freq excursion inside [fmin, fmax] (clamp
+inactive), and |tau| bounded (float32 headroom).  If any guard fails —
+acquisition, lost lock, clamp railing — ``lax.cond`` reruns the chunk
+through the exact sequential kernel.  A receiver pays the sequential
+price for the acquisition chunk(s) and then streams at VPU speed.
+
+By induction the linear solution equals the sequential loop exactly
+(modulo float rounding): if phi matches at sample n and |err[n]| < pi,
+the wrapped and unwrapped error coincide, so the updates coincide at
+n+1; the reference's +-2pi phase wraps only change phi by full turns,
+which every phasor and wrap() is invariant to.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from luaradio_tpu.ops.scan import linrec_first_order
+
+_TWO_PI = np.float32(2 * np.pi)
+_PI = np.float32(np.pi)
+
+
+def _wrap(a):
+    """Wrap to (-pi, pi]."""
+    return a - _TWO_PI * jnp.round(a / _TWO_PI)
+
+
+def _phasor_pow(u, mult: int):
+    y = u
+    for _ in range(mult - 1):
+        y = y * u
+    return y
+
+
+def pll_linear(x, state, alpha, beta, fmin, fmax, mult: int):
+    """Linear-scan PLL over complex x [N] with state (phi_l, phi_m, freq).
+
+    Returns (valid, new_state, out [N] complex64, err [N] float32): the
+    locked-loop solution plus a validity flag; the caller falls back to the
+    sequential kernel when ``valid`` is False (see :func:`pll_hybrid`).
+    ``mult`` must be a positive integer (de Moivre phase multiplication).
+    """
+    alpha = np.float32(alpha)
+    beta = np.float32(beta)
+    p0, m0, f0 = (jnp.asarray(s, jnp.float32) for s in state)
+    n = x.shape[-1]
+
+    theta = jnp.arctan2(x.imag, x.real).astype(jnp.float32)
+    mag = jnp.abs(x)
+    xhat = jnp.where(mag > 0, x / jnp.maximum(mag, np.float32(1e-30)),
+                     jnp.ones_like(x)).astype(jnp.complex64)
+
+    # unwrapped input phase, detrended: theta_u[n] = p0 + c1*n + tau[n]
+    d0 = _wrap(theta[0] - p0)                       # theta_u[0] - p0
+    inc = _wrap(theta[1:] - theta[:-1])             # increments, n >= 1
+    c1 = jnp.sum(inc) / np.float32(max(n - 1, 1))   # per-chunk trend
+    tau = d0 + jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(inc - c1)])
+
+    # homogeneous + residual-driven part: s_h[n+1] = A s_h[n] + b tau[n],
+    # diagonalized offline (alpha/beta are trace-time constants)
+    a_mat = np.array([[1.0 - alpha - beta, 1.0], [-beta, 1.0]], np.float64)
+    lam, vmat = np.linalg.eig(a_mat.astype(np.complex128))
+    vinv = np.linalg.inv(vmat)
+    b_vec = np.array([alpha + beta, beta], np.complex128)
+    w_in = vinv @ b_vec                              # residual injection
+    z0_coef = vinv[:, 1]                             # s_h[0] = [0, f0 - c1]
+
+    f_dev = (f0 - c1).astype(jnp.complex64)
+    zs = []
+    for k in range(2):
+        u = jnp.asarray(np.complex64(w_in[k])) * tau.astype(jnp.complex64)
+        z_init = jnp.asarray(np.complex64(z0_coef[k])) * f_dev
+        zk = linrec_first_order(u, np.complex64(lam[k]), z_init)  # z[1..n]
+        zs.append(jnp.concatenate([z_init[None], zk]))
+    # s_h[0..n] rows
+    p_h = (np.complex64(vmat[0, 0]) * zs[0]
+           + np.complex64(vmat[0, 1]) * zs[1]).real.astype(jnp.float32)
+    f_h = (np.complex64(vmat[1, 0]) * zs[0]
+           + np.complex64(vmat[1, 1]) * zs[1]).real.astype(jnp.float32)
+
+    err = tau - p_h[:-1]                             # e[0..n-1]
+    f_new = c1 + f_h[:-1] + beta * err               # pre-clamp freq[n+1]
+
+    # ---- guards: the linear solution is exact iff these hold -------------
+    margin = np.float32(np.pi * (15.0 / 16.0))
+    valid = ((jnp.max(jnp.abs(err)) < margin)
+             & (jnp.max(f_new) <= np.float32(fmax))
+             & (jnp.min(f_new) >= np.float32(fmin))
+             & (jnp.max(jnp.abs(tau)) < np.float32(512.0)))
+
+    # ---- outputs: unit phasors x small rotations --------------------------
+    s_cum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(err)])
+    small = -np.float32(mult) * err + alpha * np.float32(1 - mult) * s_cum[:-1]
+    base = lax.complex(jnp.cos(m0 - np.float32(mult) * p0),
+                       jnp.sin(m0 - np.float32(mult) * p0))
+    rot = lax.complex(jnp.cos(small), jnp.sin(small))
+    out = (base * _phasor_pow(xhat, mult) * rot).astype(jnp.complex64)
+
+    # ---- final state via phasor composition (no large phases) -------------
+    dl = f_new[-1] + (alpha - np.float32(1.0)) * err[-1]
+    vco_next = xhat[-1] * lax.complex(jnp.cos(dl), jnp.sin(dl))
+    dm = np.float32(mult) * f_new[-1] + alpha * err[-1]
+    osc_next = out[-1] * lax.complex(jnp.cos(dm), jnp.sin(dm))
+    new_state = (jnp.arctan2(vco_next.imag, vco_next.real),
+                 jnp.arctan2(osc_next.imag, osc_next.real),
+                 jnp.clip(f_new[-1], np.float32(fmin), np.float32(fmax)))
+    return valid, new_state, out, err
+
+
+def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential):
+    """Linear fast path with ``lax.cond`` fallback to ``sequential``.
+
+    ``sequential(state, x) -> (state', (out, err))`` is the exact kernel
+    (Pallas on TPU, lax.scan on CPU).  Returns (state', (out, err)).
+    """
+    valid, lin_state, lin_out, lin_err = pll_linear(
+        x, state, alpha, beta, fmin, fmax, mult)
+
+    def _linear(_):
+        return lin_state, (lin_out, lin_err)
+
+    def _seq(_):
+        st, (out, err) = sequential(state, x)
+        return (tuple(jnp.asarray(s, jnp.float32) for s in st),
+                (out.astype(jnp.complex64), err.astype(jnp.float32)))
+
+    return lax.cond(valid, _linear, _seq, operand=None)
+
+
+__all__ = ["pll_linear", "pll_hybrid"]

@@ -181,3 +181,71 @@ def test_binary_phase_corrector():
     assert np.max(np.abs(y - exp)) < 1e-4
     # steady state: phase removed
     assert np.max(np.abs(np.angle(y[-100:] * bits[-100:]))) < 1e-3
+
+
+def test_pll_linear_fast_path_matches_sequential_in_lock():
+    """The parallel-in-time linear PLL (ops/pll_linear.py) must reproduce
+    the sequential loop exactly (to float32 rounding) once locked, report
+    valid=True, and hand its state across chunk boundaries."""
+    import jax.numpy as jnp
+    from luaradio_tpu.ops.pll_linear import pll_linear
+
+    rate, f_tone = 8000.0, 200.0
+    n = 8192
+    blk = prepare_block(PLLBlock(100.0, 150.0, 250.0, multiplier=1.0),
+                        [ComplexFloat32], rate=rate)
+    a, b = blk._alpha, blk._beta
+    fmin, fmax = blk._freq_min, blk._freq_max
+    # one phase-continuous tone; the first 4096 samples are the lock-in
+    # preamble, the rest is the chunk under test
+    full = np.exp(1j * 2 * np.pi * f_tone / rate * np.arange(4096 + n)
+                  ).astype(np.complex64)
+    full += (0.01 * (RNG.standard_normal(4096 + n)
+                     + 1j * RNG.standard_normal(4096 + n))
+             ).astype(np.complex64)
+    pre, x = full[:4096], full[4096:]
+    exp_out, exp_err = pll_oracle(full, a, b, fmin, fmax, 1.0)
+    # oracle state entering x: recompute phases from its last outputs
+    # (run the oracle loop manually to capture state)
+    phi_l = phi_m = 0.0
+    freq = (fmin + fmax) / 2.0
+    for xi in pre.astype(np.complex128):
+        e = np.angle(xi * np.exp(-1j * phi_l))
+        freq += b * e
+        phi_l += freq + a * e
+        phi_m += freq * 1.0 + a * e
+        freq = min(max(freq, fmin), fmax)
+    st = (jnp.float32(phi_l % (2 * np.pi)), jnp.float32(phi_m % (2 * np.pi)),
+          jnp.float32(freq))
+
+    # two linear chunks with state handoff
+    outs, errs = [], []
+    for lo, hi in ((0, n // 2), (n // 2, n)):
+        valid, st, out, err = pll_linear(jnp.asarray(x[lo:hi]), st,
+                                         a, b, fmin, fmax, 1)
+        assert bool(valid)
+        outs.append(np.asarray(out))
+        errs.append(np.asarray(err))
+    got_out = np.concatenate(outs)
+    got_err = np.concatenate(errs)
+    assert np.max(np.abs(got_out - exp_out[4096:])) < 2e-3
+    assert np.max(np.abs(got_err - exp_err[4096:])) < 2e-3
+
+
+def test_pll_linear_guards_reject_acquisition():
+    """From a cold far-off state the guards must flag the linear solution
+    invalid (the hybrid then falls back to the sequential kernel)."""
+    import jax.numpy as jnp
+    from luaradio_tpu.ops.pll_linear import pll_linear
+
+    rate = 8000.0
+    n = 2048
+    blk = prepare_block(PLLBlock(20.0, 900.0, 1100.0, multiplier=1.0),
+                        [ComplexFloat32], rate=rate)
+    # tone far outside [fmin, fmax]: the loop rails the clamp
+    x = np.exp(1j * 2 * np.pi * 100.0 / rate * np.arange(n)
+               ).astype(np.complex64)
+    valid, _, _, _ = pll_linear(jnp.asarray(x), blk.init_state(),
+                                blk._alpha, blk._beta,
+                                blk._freq_min, blk._freq_max, 1)
+    assert not bool(valid)
