@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-CHUNK = 1 << 20
+CHUNK = 1 << 22  # 4M samples: amortizes per-dispatch link latency (tunneled PJRT)
 RNG = np.random.default_rng(12345)
 
 

@@ -104,7 +104,10 @@ class SignalSource(SignalSourceBlock):
 class UniformRandomSource(SignalSourceBlock):
     """Uniform random samples of any basic type
     (reference: uniformrandom.lua).  Device-resident: jax.random with a
-    carried PRNG key, so random generation runs at HBM speed in-graph."""
+    carried PRNG key, so random generation runs in-graph.  Uses the ``rbg``
+    generator (XLA RngBitGenerator — hardware-accelerated on TPU) rather
+    than threefry, which costs ~10 VPU ops/byte; the stream is only
+    required to be uniform, not reproducible across jax versions."""
 
     def __init__(self, data_type: SampleType, rate: float, range=None,
                  seed: int | None = None):
@@ -118,10 +121,15 @@ class UniformRandomSource(SignalSourceBlock):
         self.add_type_signature([], [Output("out", data_type)])
 
     def init_state(self):
-        return jax.random.PRNGKey(self.seed)
+        # stored as raw uint32 key data (not a typed key): the runtime's
+        # state fence and boundary tooling treat state leaves as plain
+        # arrays; re-wrapped per generate() call (a free bitcast under jit)
+        return jax.random.key_data(jax.random.key(self.seed, impl="rbg"))
 
     def generate(self, state, length: int):
-        key, sub = jax.random.split(state)
+        key, sub = jax.random.split(
+            jax.random.wrap_key_data(state, impl="rbg"))
+        key = jax.random.key_data(key)
         t = self.data_type
         if t == ComplexFloat32:
             a, b = self.range or (-1.0, 1.0)

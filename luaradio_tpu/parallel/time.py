@@ -149,6 +149,124 @@ def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return local + prefix[..., None]
 
 
-__all__ = ["left_halo", "fir_sharded", "fir_fft_sharded",
+__all__ = ["left_halo", "fir_sharded", "fir_fft_sharded", "pll_linear_sharded",
            "discriminator_sharded", "linrec_first_order_sharded",
            "cumsum_sharded", "delay_sharded", "pilot_recovery_sharded"]
+
+
+def pll_linear_sharded(x: jnp.ndarray, state, alpha, beta, fmin, fmax,
+                       mult: int, axis_name: str):
+    """Time-sharded parallel-in-time PLL (locked-loop linear solution).
+
+    The distributed form of ops/pll_linear.py: while the loop is locked its
+    recurrence is exactly linear, so the whole PLL becomes compositions of
+    primitives that already shard — wrapped-phase diffs (1-sample halo),
+    global detrended cumsum (cumsum_sharded), two first-order complex
+    recurrences (linrec_first_order_sharded), and error cumsums.  Guards
+    (|err| < pi, clamp inactive, bounded residual) are global pmax
+    reductions; the returned ``valid`` is replicated.  Unlike the
+    single-device hybrid there is NO in-graph sequential fallback — a
+    per-sample feedback loop cannot time-shard — so callers must treat
+    valid=False as "re-run this chunk serially" (acquisition transients).
+
+    x: [..., T_local] complex inside shard_map; state (phi_l, phi_m, freq)
+    replicated scalars/[...]-vectors; mult a positive integer.
+    Returns (valid, new_state, out, err).
+    """
+    alpha = np.float32(alpha)
+    beta = np.float32(beta)
+    two_pi = np.float32(2 * np.pi)
+
+    def wrap(a):
+        return a - two_pi * jnp.round(a / two_pi)
+
+    p0, m0, f0 = (jnp.asarray(s, jnp.float32) for s in state)
+    d = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    n_local = x.shape[-1]
+    n_global = d * n_local
+
+    theta = jnp.arctan2(x.imag, x.real).astype(jnp.float32)
+    mag = jnp.abs(x)
+    xhat = jnp.where(mag > 0, x / jnp.maximum(mag, np.float32(1e-30)),
+                     jnp.ones_like(x)).astype(jnp.complex64)
+
+    # wrapped phase increments with a 1-sample halo; the global first slot
+    # holds d0 = wrap(theta[0] - p0) instead
+    prev = jnp.concatenate([left_halo(theta, 1, axis_name),
+                            theta[..., :-1]], axis=-1)
+    inc = wrap(theta - prev)
+    first = (idx == 0)
+    d0 = wrap(theta[..., :1] - p0[..., None])
+    inc = jnp.where(first, jnp.concatenate([d0, inc[..., 1:]], axis=-1), inc)
+
+    # global trend c1 = mean of the n_global-1 true increments
+    local_sum = jnp.sum(inc, axis=-1) - jnp.where(first, d0[..., 0],
+                                                  jnp.zeros_like(d0[..., 0]))
+    c1 = lax.psum(local_sum, axis_name) / np.float32(max(n_global - 1, 1))
+
+    # detrended unwrapped phase tau[n] = d0 + sum_{1..n}(inc - c1)
+    v = inc - c1[..., None]
+    v = jnp.where(first, jnp.concatenate([d0, v[..., 1:]], axis=-1), v)
+    tau = cumsum_sharded(v, axis_name)
+
+    # two decoupled complex first-order recurrences (trace-time eigenstuff)
+    a_mat = np.array([[1.0 - alpha - beta, 1.0], [-beta, 1.0]], np.float64)
+    lam, vmat = np.linalg.eig(a_mat.astype(np.complex128))
+    vinv = np.linalg.inv(vmat)
+    w_in = vinv @ np.array([alpha + beta, beta], np.complex128)
+    f_dev = (f0 - c1).astype(jnp.complex64)
+
+    phs = []
+    for row in range(2):  # p_h and f_h rows of s_h
+        acc = None
+        for k in range(2):
+            u = jnp.asarray(np.complex64(w_in[k])) * tau.astype(jnp.complex64)
+            z_init = jnp.asarray(np.complex64(vinv[k, 1])) * f_dev
+            zk = linrec_first_order_sharded(u, np.complex64(lam[k]), z_init,
+                                            axis_name)
+            # shift right by one: s_h[n] enters err[n]
+            zk = delay_sharded(zk, 1, axis_name,
+                               carry=z_init[..., None])
+            term = np.complex64(vmat[row, k]) * zk
+            acc = term if acc is None else acc + term
+        phs.append(acc.real.astype(jnp.float32))
+    p_h, f_h = phs
+
+    err = tau - p_h
+    f_new = c1[..., None] + f_h + beta * err
+
+    margin = np.float32(np.pi * (15.0 / 16.0))
+    ok = ((jnp.max(jnp.abs(err), axis=-1) < margin)
+          & (jnp.max(f_new, axis=-1) <= np.float32(fmax))
+          & (jnp.min(f_new, axis=-1) >= np.float32(fmin))
+          & (jnp.max(jnp.abs(tau), axis=-1) < np.float32(512.0)))
+    valid = lax.pmin(ok.astype(jnp.float32), axis_name) > 0
+
+    # outputs: unit phasors x small rotations
+    s_cum = cumsum_sharded(err, axis_name) - err   # exclusive cumsum
+    small = -np.float32(mult) * err + alpha * np.float32(1 - mult) * s_cum
+    base = lax.complex(jnp.cos(m0 - np.float32(mult) * p0),
+                       jnp.sin(m0 - np.float32(mult) * p0))[..., None]
+    y = xhat
+    for _ in range(mult - 1):
+        y = y * xhat
+    rot = lax.complex(jnp.cos(small), jnp.sin(small))
+    out = (base * y * rot).astype(jnp.complex64)
+
+    # final state from the global last sample
+    def from_last(vv):
+        return lax.all_gather(vv, axis_name)[-1]
+
+    xl = from_last(xhat[..., -1])
+    el = from_last(err[..., -1])
+    fl = from_last(f_new[..., -1])
+    ol = from_last(out[..., -1])
+    dl = fl + (alpha - np.float32(1.0)) * el
+    vco_next = xl * lax.complex(jnp.cos(dl), jnp.sin(dl))
+    dm = np.float32(mult) * fl + alpha * el
+    osc_next = ol * lax.complex(jnp.cos(dm), jnp.sin(dm))
+    new_state = (jnp.arctan2(vco_next.imag, vco_next.real),
+                 jnp.arctan2(osc_next.imag, osc_next.real),
+                 jnp.clip(fl, np.float32(fmin), np.float32(fmax)))
+    return valid, new_state, out, err
