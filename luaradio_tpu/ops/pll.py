@@ -51,10 +51,13 @@ def _atan(x):
 
 
 def _signbit(x):
-    """IEEE sign bit incl. -0, without jnp.signbit: its bitcast lowering
-    is vector-only on Mosaic, and this helper also runs in scalar (SMEM)
-    kernel loops.  1/(+-0) = +-inf distinguishes the zero signs."""
-    return jnp.where(x == 0, np.float32(1.0) / x < 0, x < 0)
+    """IEEE sign bit incl. -0, usable in BOTH Mosaic contexts: jnp.signbit's
+    bitcast lowering is vector-only, and the scalar fallback's select of
+    1/(+-0) = +-inf produces an i1 vector truncation Mosaic also rejects —
+    so dispatch on the trace-time rank."""
+    if getattr(x, "ndim", 0) == 0:
+        return jnp.where(x == 0, np.float32(1.0) / x < 0, x < 0)
+    return jnp.signbit(x)
 
 
 def _atan2(y, x):
