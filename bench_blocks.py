@@ -235,48 +235,63 @@ def benchmarks():
     rows.append(("Float to Complex", 397.7, float_to_complex))
 
     # File sources need on-disk fixtures large enough not to EOF mid-trial.
+    # BASELINE-comparable rows use resident=False: they measure the honest
+    # sustained host->file->device streaming path (read-ahead thread +
+    # overlapped transfer), which on this host is bound by the measured
+    # host->device link rate (see "ingest_ceiling_mbps" in the output), not
+    # by compute.  The device-resident loop mode — the TPU-native design
+    # for repeating playback, zero link traffic in steady state — is
+    # reported as separate non-baseline rows.
     n_file = 4 << 20
 
-    def iq_file():
-        path = _tmpfile(_iq_bytes(n_file))
-
+    def file_row(mk_src):
         def build():
             top = lr.CompositeBlock()
             blk = lr.NopBlock()
-            top.connect(lr.IQFileSource(path, "f32le", rate,
-                                        repeat_on_eof=True),
-                        blk, lr.BenchmarkSink())
+            top.connect(mk_src(), blk, lr.BenchmarkSink())
             return top, blk
         return build
 
-    def real_file():
-        path = _tmpfile(_f32_bytes(n_file))
+    iq_path = _tmpfile(_iq_bytes(n_file))
+    f32_path = _tmpfile(_f32_bytes(n_file))
+    u8_path = _tmpfile((RNG.integers(0, 256, 2 * n_file)
+                        ).astype(np.uint8).tobytes())
 
-        def build():
-            top = lr.CompositeBlock()
-            blk = lr.NopBlock()
-            top.connect(lr.RealFileSource(path, "f32le", rate,
-                                          repeat_on_eof=True), blk,
-                        lr.BenchmarkSink())
-            return top, blk
-        return build
-
-    def raw_file():
-        path = _tmpfile(_f32_bytes(n_file))
-
-        def build():
-            top = lr.CompositeBlock()
-            blk = lr.NopBlock()
-            top.connect(lr.RawFileSource(path, Float32, rate,
-                                         repeat_on_eof=True), blk,
-                        lr.BenchmarkSink())
-            return top, blk
-        return build
-
-    rows.insert(1, ("IQ File Source (f32le)", 280.1, iq_file()))
-    rows.insert(2, ("Real File Source (f32le)", 506.4, real_file()))
-    rows.insert(3, ("Raw File Source (float)", 1312.4, raw_file()))
+    rows.insert(1, ("IQ File Source (f32le)", 280.1, file_row(
+        lambda: lr.IQFileSource(iq_path, "f32le", rate, repeat_on_eof=True,
+                                resident=False))))
+    rows.insert(2, ("Real File Source (f32le)", 506.4, file_row(
+        lambda: lr.RealFileSource(f32_path, "f32le", rate,
+                                  repeat_on_eof=True, resident=False))))
+    rows.insert(3, ("Raw File Source (float)", 1312.4, file_row(
+        lambda: lr.RawFileSource(f32_path, Float32, rate,
+                                 repeat_on_eof=True, resident=False))))
+    # non-baseline rows: device-side wire conversion (u8 = 2 bytes/sample
+    # over the link) and the HBM-resident loop (no link traffic at all)
+    rows.insert(4, ("IQ File Source (u8, device-side conversion)", None,
+                    file_row(lambda: lr.IQFileSource(
+                        u8_path, "u8", rate, repeat_on_eof=True,
+                        resident=False))))
+    rows.insert(5, ("IQ File Source (f32le, HBM-resident loop)", None,
+                    file_row(lambda: lr.IQFileSource(
+                        iq_path, "f32le", rate, repeat_on_eof=True))))
     return rows
+
+
+def measure_ingest_ceiling(nbytes: int = 32 << 20, k: int = 6) -> float:
+    """Sustained host->device link rate (MB/s) measured NOW: the structural
+    ceiling of every streaming file-source row on this host.  The tunneled
+    TPU transport serves an initial burst at GB/s then throttles to
+    ~50-200 MB/s, so the burst credits are drained (8 x 32 MB) before
+    timing to report the SUSTAINED rate the rows actually see."""
+    import jax
+    arr = RNG.standard_normal(nbytes // 4).astype(np.float32)
+    for _ in range(8):
+        jax.device_put(arr).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(k):
+        jax.device_put(arr).block_until_ready()
+    return k * arr.nbytes / (time.perf_counter() - t0) / 1e6
 
 
 def bench_one(name, baseline, build, duration=3.0):
@@ -329,12 +344,13 @@ def bench_one(name, baseline, build, duration=3.0):
             if time.perf_counter() > t_end:
                 break
     finally:
-        for b in runner.graph.order:
-            b.cleanup()
-    return {"name": name, "samples_per_second": best,
-            "msps": best / 1e6, "baseline_i5_msps": baseline,
-            "vs_baseline": best / 1e6 / baseline,
-            "dtype": t.name if t is not None else "?"}
+        runner._cleanup_once()
+    rec = {"name": name, "samples_per_second": best,
+           "msps": best / 1e6, "baseline_i5_msps": baseline,
+           "dtype": t.name if t is not None else "?"}
+    if baseline is not None:
+        rec["vs_baseline"] = best / 1e6 / baseline
+    return rec
 
 
 def main():
@@ -346,6 +362,7 @@ def main():
     _setup_jax()
 
     results = []
+    ceiling = None
     for name, baseline, build in benchmarks():
         if args.only and args.only.lower() not in name.lower():
             continue
@@ -354,16 +371,22 @@ def main():
         except Exception as exc:  # noqa: BLE001 — record, keep going
             rec = {"name": name, "baseline_i5_msps": baseline,
                    "error": f"{type(exc).__name__}: {exc}"[:300]}
+        if "File Source" in name and "resident" not in name:
+            if ceiling is None:
+                ceiling = measure_ingest_ceiling()
+            rec["ingest_ceiling_mbps"] = round(ceiling, 1)
+            rec["note"] = ("streaming row: bound by the measured sustained "
+                           "host->device link rate above, not by compute")
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
     if args.out:
         import jax
-        ok = [r for r in results if "error" not in r]
+        ok = [r for r in results if "error" not in r and "vs_baseline" in r]
         agg = {
             "rows": results,
             "n_rows": len(results),
-            "n_ok": len(ok),
+            "n_ok": len([r for r in results if "error" not in r]),
             "geomean_vs_baseline": (
                 float(np.exp(np.mean([np.log(r["vs_baseline"])
                                       for r in ok]))) if ok else 0.0),

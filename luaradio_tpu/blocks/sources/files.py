@@ -10,6 +10,7 @@ asynchronously.
 from __future__ import annotations
 
 import json as _json
+import mmap
 import struct
 
 import numpy as np
@@ -18,6 +19,15 @@ from luaradio_tpu.core.block import HostSourceBlock, Output
 from luaradio_tpu.types import (Bit, Byte, ComplexFloat32, Float32, SampleType,
                                 object_type)
 from luaradio_tpu.utils import format as format_utils
+
+#: wire formats whose raw->float conversion is exact in float32 arithmetic;
+#: these may be converted ON DEVICE (HostSourceBlock.wire_read contract) so
+#: only the 1-2 byte/sample wire bytes cross the host->device link, which is
+#: the scarce resource of the ingest path (32-bit formats stay on the host
+#: float64 path for bit-identical rounding).
+_DEVICE_CONVERT_FORMATS = {
+    "u8", "s8", "u16le", "u16be", "s16le", "s16be",
+}
 
 
 def _open_readable(file):
@@ -30,23 +40,55 @@ def _open_readable(file):
 
 
 class _FileSourceBase(HostSourceBlock):
-    def __init__(self, file, rate: float | None, repeat_on_eof: bool = False):
+    """Base for binary file sources.
+
+    ``resident`` controls the device-resident loop mode for repeating
+    sources: a ``repeat_on_eof`` file whose decoded payload fits the budget
+    (LUARADIO_TPU_RESIDENT_BUDGET bytes, default 256 MiB) is uploaded to
+    device HBM ONCE and every subsequent chunk is a device-side window over
+    the ring — zero host->device traffic in steady state.  The reference
+    re-reads and re-converts the file every pass (iqfile.lua:82-116); on a
+    TPU the host link is the scarcest resource in the whole pipeline, so a
+    periodic stream belongs in HBM.  ``None`` (default) = auto-enable when
+    eligible; False = always stream from the host.
+    """
+
+    def __init__(self, file, rate: float | None, repeat_on_eof: bool = False,
+                 resident: bool | None = None):
         super().__init__()
         self._file_arg = file
         self.rate = rate
         self.repeat_on_eof = repeat_on_eof
+        self.resident = resident
         self.file = None
+        self._mm = None
+        self._res_buf = None
 
     def initialize(self):
         if self.file is None:
             self.file, self._owns = _open_readable(self._file_arg)
+        if self._mm is None:
+            # mmap path-backed files: reads become zero-copy page-cache
+            # views instead of read() copies (reference iqfile.lua uses
+            # stdio fread; the pump overlaps this with device transfer).
+            try:
+                self._mm = mmap.mmap(self.file.fileno(), 0,
+                                     access=mmap.ACCESS_READ)
+                self._mm_pos = self.file.tell()
+            except (OSError, ValueError):
+                self._mm = None
 
     def cleanup(self):
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
         if self.file is not None and getattr(self, "_owns", False):
             self.file.close()
             self.file = None
 
     def _read_bytes(self, nbytes: int) -> bytes:
+        if self._mm is not None:
+            return self._read_bytes_mm(nbytes)
         buf = self.file.read(nbytes)
         while self.repeat_on_eof and len(buf) < nbytes:
             self.file.seek(0)
@@ -56,14 +98,132 @@ class _FileSourceBase(HostSourceBlock):
             buf += more
         return buf
 
+    def _read_bytes_mm(self, nbytes: int):
+        mm, size = self._mm, len(self._mm)
+        pos = self._mm_pos
+        end = min(pos + nbytes, size)
+        buf = mm[pos:end]
+        self._mm_pos = end
+        while self.repeat_on_eof and len(buf) < nbytes and size > 0:
+            take = min(nbytes - len(buf), size)
+            buf += mm[0:take]
+            self._mm_pos = take % size if take == size else take
+        return buf
 
-class IQFileSource(_FileSourceBase):
+    # -- device-resident loop mode -----------------------------------------
+    def _whole_file_bytes(self):
+        if self._mm is not None:
+            return self._mm[:]
+        try:
+            pos = self.file.tell()
+            self.file.seek(0)
+            buf = self.file.read()
+            self.file.seek(pos)
+            return buf
+        except (OSError, ValueError):
+            return None
+
+    def _decode_all(self):
+        """Decode the ENTIRE file into its 1-D boundary payload.  Returns
+        (payload ndarray, n_samples, items_per_sample) or None when the
+        file is empty/unseekable.  Overridden per concrete source."""
+        return None
+
+    def _resident_budget(self) -> int:
+        import os
+        try:
+            return int(os.environ.get("LUARADIO_TPU_RESIDENT_BUDGET",
+                                      256 << 20))
+        except ValueError:
+            return 256 << 20
+
+    def resident_setup(self, chunk: int) -> bool:
+        """Try to enter device-resident loop mode for `chunk`-sample reads.
+        Called by the fused runtime for repeat_on_eof sources whose outputs
+        feed only device blocks."""
+        if self.resident is False or not self.repeat_on_eof:
+            return False
+        self.initialize()
+        decoded = self._decode_all()
+        if decoded is None:
+            return False
+        payload, n, k = decoded
+        if n == 0 or payload.nbytes > self._resident_budget():
+            return False
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        # ring extended by one chunk so every window is contiguous (windows
+        # start anywhere in the first period and span up to chunk*k more)
+        L, C = payload.shape[0], chunk * k
+        reps = -(-(L + C) // L)
+        ext = np.tile(payload, reps)[:L + C]
+        self._res_buf = jax.device_put(ext)
+        self._res_n = n
+        self._res_k = k
+        self._res_pos = 0
+        self._res_chunk = chunk
+
+        def window(buf, start):
+            return lax.dynamic_slice(buf, (start,), (chunk * k,))
+        self._res_window = jax.jit(window)
+        return True
+
+    def resident_read(self, n: int):
+        """One chunk from the device-resident ring (no host traffic)."""
+        out = self._res_window(self._res_buf,
+                               np.int32(self._res_pos * self._res_k))
+        self._res_pos = (self._res_pos + n) % self._res_n
+        return out
+
+
+def _make_wire_ingest(fmt):
+    """Build the on-device raw -> float32 converter for an exact-in-f32
+    wire format: float = (raw - offset) / scale, elementwise on the VPU."""
+    offset = np.float32(fmt.offset)
+    scale = np.float32(fmt.scale)
+
+    def ingest(raw):
+        import jax.numpy as jnp
+        return (raw.astype(jnp.float32) - offset) / scale
+    return ingest
+
+
+class _WireFileSource(_FileSourceBase):
+    """Shared wire-ingest implementation for IQ/Real file sources.
+
+    ``_wire_factor`` is wire items per sample (2 for interleaved I/Q)."""
+
+    _wire_factor = 1
+
+    def device_ingest(self):
+        if self.format.name in _DEVICE_CONVERT_FORMATS:
+            return _make_wire_ingest(self.format)
+        return None
+
+    def wire_read(self, n: int):
+        item = self.format.itemsize
+        k = self._wire_factor
+        buf = self._read_bytes(n * k * item)
+        if not buf:
+            return None
+        count = len(buf) // (k * item)
+        raw = np.frombuffer(buf, dtype=self.format.dtype, count=count * k)
+        if self.format.dtype.byteorder == ">":
+            raw = raw.astype(self.format.dtype.newbyteorder("="))
+        return raw, count
+
+
+class IQFileSource(_WireFileSource):
     """Complex samples from an interleaved-I/Q binary file in any of the 14
     scalar wire formats (reference: iqfile.lua:82-116)."""
 
+    _wire_factor = 2
+
     def __init__(self, file, format: str, rate: float,
-                 repeat_on_eof: bool = False):
-        super().__init__(file, rate, repeat_on_eof)
+                 repeat_on_eof: bool = False, resident: bool | None = None):
+        super().__init__(file, rate, repeat_on_eof, resident)
         self.format = format_utils.get_format(format)
         self.add_type_signature([], [Output("out", ComplexFloat32)])
 
@@ -73,13 +233,27 @@ class IQFileSource(_FileSourceBase):
             return None
         return format_utils.bytes_to_complex(buf, self.format)
 
+    def _decode_all(self):
+        buf = self._whole_file_bytes()
+        if not buf:
+            return None
+        item = self.format.itemsize
+        n = len(buf) // (2 * item)
+        if self.device_ingest() is not None:
+            raw = np.frombuffer(buf, dtype=self.format.dtype, count=2 * n)
+            if self.format.dtype.byteorder == ">":
+                raw = raw.astype(self.format.dtype.newbyteorder("="))
+            return raw, n, 2
+        z = format_utils.bytes_to_complex(buf[:n * 2 * item], self.format)
+        return z.view(np.float32), n, 2
 
-class RealFileSource(_FileSourceBase):
+
+class RealFileSource(_WireFileSource):
     """Float32 samples from a binary file (reference: realfile.lua)."""
 
     def __init__(self, file, format: str, rate: float,
-                 repeat_on_eof: bool = False):
-        super().__init__(file, rate, repeat_on_eof)
+                 repeat_on_eof: bool = False, resident: bool | None = None):
+        super().__init__(file, rate, repeat_on_eof, resident)
         self.format = format_utils.get_format(format)
         self.add_type_signature([], [Output("out", Float32)])
 
@@ -89,14 +263,27 @@ class RealFileSource(_FileSourceBase):
             return None
         return format_utils.bytes_to_real(buf, self.format)
 
+    def _decode_all(self):
+        buf = self._whole_file_bytes()
+        if not buf:
+            return None
+        item = self.format.itemsize
+        n = len(buf) // item
+        if self.device_ingest() is not None:
+            raw = np.frombuffer(buf, dtype=self.format.dtype, count=n)
+            if self.format.dtype.byteorder == ">":
+                raw = raw.astype(self.format.dtype.newbyteorder("="))
+            return raw, n, 1
+        return format_utils.bytes_to_real(buf[:n * item], self.format), n, 1
+
 
 class RawFileSource(_FileSourceBase):
     """Native in-memory sample stream of any basic type (reference:
     rawfile.lua — reads the CStruct wire format directly)."""
 
     def __init__(self, file, data_type: SampleType, rate: float,
-                 repeat_on_eof: bool = False):
-        super().__init__(file, rate, repeat_on_eof)
+                 repeat_on_eof: bool = False, resident: bool | None = None):
+        super().__init__(file, rate, repeat_on_eof, resident)
         self.data_type = data_type
         self.add_type_signature([], [Output("out", data_type)])
 
@@ -107,6 +294,17 @@ class RawFileSource(_FileSourceBase):
             return None
         count = len(buf) // item
         return np.frombuffer(buf[:count * item], dtype=self.data_type.dtype)
+
+    def _decode_all(self):
+        buf = self._whole_file_bytes()
+        if not buf:
+            return None
+        dt = self.data_type.dtype
+        n = len(buf) // dt.itemsize
+        arr = np.frombuffer(buf[:n * dt.itemsize], dtype=dt)
+        if dt.kind == "c":
+            return arr.view(np.float32), n, 2
+        return arr, n, 1
 
 
 class WAVFileSource(HostSourceBlock):

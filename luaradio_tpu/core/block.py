@@ -274,12 +274,32 @@ class SignalSourceBlock(SourceBlock, SignalBlock):
 
 class HostSourceBlock(SourceBlock, HostBlock):
     """Host source: read(n) returns up to n samples as a numpy array per
-    output port, or None at EOF."""
+    output port, or None at EOF.
+
+    Sources whose wire format converts to float exactly in float32 may also
+    implement the *wire ingest* contract: ``wire_read(n)`` returns the raw
+    integer wire samples ``(raw, n_valid)`` (or None at EOF) and
+    ``device_ingest()`` returns a jax-traceable ``raw -> float32 payload``
+    function.  The fused runtime then ships the 1-2 byte/sample wire bytes
+    across the host->device link and converts on the VPU — the link, not
+    the conversion, is the ingest bottleneck (reference converts on the
+    host per sample, iqfile.lua:82-116)."""
 
     domain = "host"
 
     def read(self, n: int):
         raise NotImplementedError
+
+    def wire_read(self, n: int):
+        """Raw wire samples as (numpy integer array, n_valid) or None at
+        EOF.  Only called when device_ingest() returned a converter."""
+        raise NotImplementedError
+
+    def device_ingest(self):
+        """Return a jax-traceable function converting the wire_read array
+        to the block's float32 boundary payload, or None when this source
+        does not support device-side conversion (the default)."""
+        return None
 
 
 class SinkBlock(HostBlock):

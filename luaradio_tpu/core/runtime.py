@@ -71,7 +71,8 @@ class Segment:
 
     def __init__(self, graph: Graph, blocks: list[Block], bid: dict[int, str],
                  jit_compile: bool, mesh=None, channels: int | None = None,
-                 channel_axis: str = "channel"):
+                 channel_axis: str = "channel",
+                 wire_ingest: dict[str, Any] | None = None):
         import jax
 
         self.blocks = blocks
@@ -79,6 +80,7 @@ class Segment:
         self._fence = None
         self.mesh = mesh
         self.channels = channels
+        self.wire_ingest = wire_ingest or {}
         in_seg = {id(b) for b in blocks}
 
         def _is_complex(block: Block, oi: int) -> bool:
@@ -121,9 +123,17 @@ class Segment:
                    if isinstance(b, SignalSourceBlock)}
         edges = graph.edges
 
+        wire = self.wire_ingest
+
         def step(states: dict, ext: dict):
-            vals = {k: (unpack_complex(v) if self.ext_complex[k] else v)
-                    for k, v in ext.items()}
+            # wire-ingest edges arrive as raw integer wire samples and are
+            # converted to float32 on-device (the host->device link is the
+            # ingest bottleneck; the VPU conversion is free in comparison)
+            vals = {}
+            for k, v in ext.items():
+                if k in wire:
+                    v = wire[k](v)
+                vals[k] = unpack_complex(v) if self.ext_complex[k] else v
             new_states = dict(states)
             for b in blocks:
                 k = bid[id(b)]
@@ -227,6 +237,82 @@ class Segment:
         return float(self._fence(self.states))
 
 
+class _Prefetcher:
+    """Read-ahead pump stage: a background thread reads host sources,
+    converts wire formats, and starts the host->device transfers, so file
+    I/O, format conversion, and the link transfer of chunk k+1 all overlap
+    the device compute of chunk k.  The reference gets the same overlap for
+    free from its process-per-block pipes (composite.lua:568-636); here one
+    thread + a small bounded queue replaces the socketpair transport.
+
+    ``read_fn`` is Runner._read_sources; ``put_fn(key, arr)`` optionally
+    moves a payload to the device (returns the value to enqueue).  Errors
+    raised by either propagate out of :meth:`get` on the pump thread.
+    """
+
+    def __init__(self, read_fn, put_fn, depth: int = 3):
+        import queue
+
+        self._read_fn = read_fn
+        self._put_fn = put_fn
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.error: BaseException | None = None
+        self._thread = threading.Thread(target=self._main, daemon=True)
+        self._thread.start()
+
+    def _main(self):
+        import queue
+
+        try:
+            while not self._stop.is_set():
+                chunk = self._read_fn()
+                if chunk is not None:
+                    values, nvalid, eof = chunk
+                    values = {k: self._put_fn(k, v) for k, v in values.items()}
+                    chunk = (values, nvalid, eof)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(chunk, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if chunk is None or chunk[2]:
+                    return
+        except BaseException as exc:  # noqa: BLE001 — surfaced from get()
+            self.error = exc
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+    def get(self):
+        """Next (values, nvalid, eof) chunk, or None at EOF.  Re-raises any
+        reader-thread exception."""
+        import queue
+
+        while True:
+            if self.error is not None and self._q.empty():
+                err, self.error = self.error, None
+                raise err
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if not self._thread.is_alive() and self.error is None:
+                    return None
+                continue
+            if item is None and self.error is not None:
+                err, self.error = self.error, None
+                raise err
+            return item
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
 class Runner:
     def __init__(self, top: CompositeBlock, mode: str = "fused",
                  chunk_size: int | None = None, trace: bool | None = None,
@@ -257,6 +343,40 @@ class Runner:
                         f"is not supported in a channel bank (only device "
                         f"blocks and terminal sinks)")
 
+        self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
+
+        # Wire-ingest plan: a host source whose outputs feed ONLY device
+        # blocks ships raw integer wire samples (when it supports exact
+        # device-side conversion) and lets the fused program convert; the
+        # same all-device-consumers test decides which source payloads the
+        # prefetcher may move to the device ahead of dispatch.
+        self.wire_ingest: dict[str, Any] = {}
+        self._wire_srcs: set[int] = set()
+        self._resident_srcs: set[int] = set()
+        self._transfer_keys: set[str] = set()
+        for s in self.sources:
+            keys = [f"{self.bid[id(s)]}.{oi}" for oi in range(len(s.outputs))]
+            all_dev = all(
+                c.block.domain == "device"
+                for oi in range(len(s.outputs))
+                for c in g.consumers(PortRef(s, oi)))
+            if not all_dev:
+                continue
+            if mesh is None and mode == "fused":
+                self._transfer_keys.update(keys)
+            ing = s.device_ingest() if mode == "fused" else None
+            if ing is not None and len(s.outputs) == 1:
+                self.wire_ingest[keys[0]] = ing
+                self._wire_srcs.add(id(s))
+            # Device-resident loop: a repeating file source whose decoded
+            # payload fits HBM streams with ZERO host link traffic.
+            if (mode == "fused" and mesh is None and len(s.outputs) == 1
+                    and getattr(s, "repeat_on_eof", False)
+                    and hasattr(s, "resident_setup")
+                    and s.resident_setup(g.out_chunk[id(s)])):
+                self._resident_srcs.add(id(s))
+                self._wire_srcs.discard(id(s))
+
         # Build one segment per stage that contains device blocks.
         self.stage_plan: list[tuple[Segment | None, list[Block]]] = []
         for s in range(g.num_stages):
@@ -266,11 +386,9 @@ class Runner:
                     if g.stage[id(b)] == s and b.domain == "host"
                     and not isinstance(b, HostSourceBlock)]
             seg = Segment(g, dev, self.bid, mode == "fused", mesh=mesh,
-                          channels=channels,
-                          channel_axis=channel_axis) if dev else None
+                          channels=channels, channel_axis=channel_axis,
+                          wire_ingest=self.wire_ingest) if dev else None
             self.stage_plan.append((seg, host))
-
-        self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
 
         # Pipelined pumping: when no device block consumes a host block's
         # output, all device segments for chunk k can be dispatched
@@ -286,10 +404,41 @@ class Runner:
 
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._prefetcher: _Prefetcher | None = None
         self.running = False
         self.chunks_processed = 0
         self.error: BaseException | None = None
         self._cleaned_up = False
+
+    # ------------------------------------------------------------------
+    def _prefetch_put(self, key: str, value):
+        """Prefetch-thread hook: start the host->device transfer of payloads
+        that only device blocks consume (the transfer overlaps the previous
+        chunk's device compute; jit then consumes the device-resident
+        array without a second copy)."""
+        if key in self._transfer_keys and isinstance(value, np.ndarray):
+            import jax
+            return jax.device_put(host_to_payload(value))
+        return value
+
+    def _next_chunk(self):
+        """One chunk of source data, via the read-ahead thread in fused
+        mode (lazily started) or synchronously in eager mode."""
+        if self.mode != "fused" or not self.sources:
+            return self._traced("sources.read", self._read_sources)
+        if self._prefetcher is None:
+            # Complete one full put->execute->fetch round trip on THIS
+            # thread before any secondary thread touches jax: backend
+            # initialization racing a device_put from another thread
+            # deadlocks the first fetch (observed on jax 0.9.0, CPU and
+            # TPU plugins alike).
+            import jax
+            np.asarray(jax.jit(lambda x: x + 1)(
+                jax.device_put(np.zeros(1, np.float32))))
+            self._prefetcher = _Prefetcher(
+                lambda: self._traced("sources.read", self._read_sources),
+                self._prefetch_put)
+        return self._traced("sources.wait", self._prefetcher.get)
 
     # ------------------------------------------------------------------
     def _read_sources(self):
@@ -303,6 +452,26 @@ class Runner:
         # reference semantics end the stream at EOF
         for s in self.sources:
             want = g.out_chunk[id(s)]
+            if id(s) in self._resident_srcs:
+                key = f"{self.bid[id(s)]}.0"
+                values[key] = s.resident_read(want)
+                nvalid[key] = want
+                continue
+            if id(s) in self._wire_srcs:
+                wr = s.wire_read(want)
+                if wr is None:
+                    return None
+                raw, nv = wr
+                k = getattr(s, "_wire_factor", 1)
+                if nv < want:
+                    eof = True
+                    pad = np.zeros(raw.shape[:-1] + (want * k - raw.shape[-1],),
+                                   dtype=raw.dtype)
+                    raw = np.concatenate([raw, pad], axis=-1)
+                key = f"{self.bid[id(s)]}.0"
+                values[key] = raw
+                nvalid[key] = nv
+                continue
             data = s.read(want)
             if data is None:
                 return None
@@ -382,7 +551,7 @@ class Runner:
 
     def _pump_once(self) -> bool:
         """Lockstep: one chunk through the whole graph.  False at EOF."""
-        chunk = self._traced("sources.read", self._read_sources)
+        chunk = self._next_chunk()
         if chunk is None:
             return False
         values, nvalid, eof = chunk
@@ -403,7 +572,7 @@ class Runner:
 
     def _dispatch_chunk(self):
         """Pipelined phase 1: sources + all device segments (async)."""
-        chunk = self._traced("sources.read", self._read_sources)
+        chunk = self._next_chunk()
         if chunk is None:
             return None
         values, nvalid, eof = chunk
@@ -456,6 +625,9 @@ class Runner:
         if self._cleaned_up:
             return
         self._cleaned_up = True
+        if self._prefetcher is not None:
+            self._prefetcher.shutdown()
+            self._prefetcher = None
         first_err = None
         for b in self.graph.order:
             try:
