@@ -103,6 +103,19 @@ def benchmarks():
             return top, blk
         return build
 
+    def _pll_acquire_build():
+        top = lr.CompositeBlock()
+        tone = lr.SignalSource("exponential", 210e3, rate)
+        noise = lr.UniformRandomSource(C64, rate)
+        scale = lr.MultiplyConstantBlock(0.8)
+        add = lr.AddBlock()
+        blk = lr.PLLBlock(1e3, 200e3, 220e3)
+        top.connect(tone, "out", add, "in1")
+        top.connect(noise, scale)
+        top.connect(scale, "out", add, "in2")
+        top.connect(add, blk, lr.BenchmarkSink())
+        return top, blk
+
     taps16 = RNG.standard_normal(16).astype(np.float32)
     taps128 = RNG.standard_normal(128).astype(np.float32)
     taps256 = RNG.standard_normal(256).astype(np.float32)
@@ -186,6 +199,11 @@ def benchmarks():
         ("PLL (locked, tone input)", 5.5,
          simple(lambda: lr.SignalSource("exponential", 210e3, rate),
                 lambda: lr.PLLBlock(1e3, 200e3, 220e3))),
+        # Unlocked-but-carrier-bearing input (acquisition / low SNR): the
+        # overlap-and-discard batched scan (ops/pll_overlap.py) — the
+        # full-chunk linear guard fails, but warm-up segments validate.
+        # Pure noise (the row above) is diffusive and stays sequential.
+        ("PLL (acquiring, +3 dB tone in noise)", 5.5, _pll_acquire_build),
         ("Zero Crossing Clock Recovery", 72.0,
          simple(rand_f, lambda: lr.ZeroCrossingClockRecoveryBlock(1200))),
         ("Binary Phase Corrector", 54.8,
