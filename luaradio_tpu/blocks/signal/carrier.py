@@ -235,6 +235,27 @@ class AGCBlock(SignalBlock):
         y = jnp.where(active, gain * x, x)
         return (p[..., -1], g[..., -1]), y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        # both 1-pole recurrences become distributed prefix scans; the
+        # gain recurrence's data-dependent decay (hold below threshold)
+        # passes through the same affine-pair combine
+        from luaradio_tpu.parallel.time import linrec_first_order_sharded
+        p0, g0 = state
+        ap, ag = self._power_alpha, self._gain_alpha
+        power_in = jnp.abs(x).astype(jnp.float32) ** 2
+        p = linrec_first_order_sharded(ap * power_in, np.float32(1.0) - ap,
+                                       p0, axis_name)
+        active = p >= self._threshold
+        a = jnp.where(active, np.float32(1.0) - ag, np.float32(1.0))
+        u = jnp.where(active,
+                      ag * self._target / jnp.maximum(p, np.float32(1e-30)),
+                      np.float32(0.0))
+        g = linrec_first_order_sharded(u, a, g0, axis_name)
+        gain = jnp.sqrt(g).astype(x.real.dtype)
+        y = jnp.where(active, gain * x, x)
+        last = lambda v: lax.all_gather(v[..., -1], axis_name)[-1]
+        return (last(p), last(g)), y
+
 
 class PowerSquelchBlock(SignalBlock):
     """Zero the output while the 1-pole average power is below a threshold
@@ -260,6 +281,15 @@ class PowerSquelchBlock(SignalBlock):
         p = linrec_first_order(a * power_in, np.float32(1.0) - a, state)
         y = jnp.where(p >= self._threshold, x, jnp.zeros_like(x))
         return p[..., -1], y
+
+    def process_sharded(self, state, x, *, axis_name: str):
+        from luaradio_tpu.parallel.time import linrec_first_order_sharded
+        a = self._alpha
+        power_in = jnp.abs(x).astype(jnp.float32) ** 2
+        p = linrec_first_order_sharded(a * power_in, np.float32(1.0) - a,
+                                       state, axis_name)
+        y = jnp.where(p >= self._threshold, x, jnp.zeros_like(x))
+        return lax.all_gather(p[..., -1], axis_name)[-1], y
 
 
 class ZeroCrossingClockRecoveryBlock(SignalBlock):
@@ -373,3 +403,10 @@ __all__ = [
     "PLLBlock", "PilotRecoveryBlock", "AGCBlock", "PowerSquelchBlock",
     "ZeroCrossingClockRecoveryBlock", "BinaryPhaseCorrectorBlock",
 ]
+
+# PilotRecoveryBlock's state is a pure FIR input tail — generic halo
+# exchange (SignalBlock.process_sharded) is exact for it.  The PLL keeps
+# the default (its per-sample feedback cannot time-shard; use
+# PilotRecoveryBlock or channel banking — parallel/time.py has the
+# linear-path pll_linear_sharded for callers that manage acquisition).
+PilotRecoveryBlock.tail_state = True

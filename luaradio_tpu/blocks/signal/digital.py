@@ -102,6 +102,14 @@ class DifferentialDecoderBlock(SignalBlock):
             self._prev_host = x[-1]
         return y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        from jax import lax
+        from luaradio_tpu.parallel.time import left_halo
+        idx = lax.axis_index(axis_name)
+        prev = jnp.where(idx == 0, state, left_halo(x, 1, axis_name)[..., 0])
+        _, y = self.process(prev, x)
+        return lax.all_gather(x[..., -1], axis_name)[-1], y
+
 
 class ManchesterDecoderBlock(HostBlock):
     """Manchester pair decode with clock-slip recovery (reference:
@@ -243,3 +251,5 @@ __all__ = [
     "SamplerBlock", "SlicerBlock", "DifferentialDecoderBlock",
     "ManchesterDecoderBlock", "PreambleSamplerBlock",
 ]
+
+SlicerBlock.time_local = True   # stateless threshold, no cross-sample coupling

@@ -126,6 +126,13 @@ class IIRFilterBlock(SignalBlock):
                                       jnp.asarray(self._g), self._b0, state)
         return state, y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        # distributed prefix over the order-p state space: local scans +
+        # one all_gather of p-vector summaries (ops/scan.py)
+        y, state = scan_ops.iir_apply_sharded(
+            x, self._A, jnp.asarray(self._g), self._b0, state, axis_name)
+        return state, y
+
     def fir_equivalent(self):
         """Graph-optimizer protocol: the truncated impulse response when the
         filter decays into float32 noise quickly enough, else None (keeps
@@ -487,3 +494,10 @@ __all__ = [
     "FMDeemphasisFilterBlock", "FMPreemphasisFilterBlock",
     "HilbertTransformBlock",
 ]
+
+# The FIR family carries pure input tails (fir_init_state/fir_fft_init_state/
+# fir_decimate_init_state) — the generic ppermute halo exchange in
+# SignalBlock.process_sharded is exact for them.
+for _cls in (FIRFilterBlock, DecimatingFIRBlock, HilbertTransformBlock):
+    _cls.tail_state = True
+del _cls

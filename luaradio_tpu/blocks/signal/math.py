@@ -220,3 +220,13 @@ __all__ = [
     "ComplexToRealBlock", "ComplexToImagBlock", "ComplexToFloatBlock",
     "RealToComplexBlock", "FloatToComplexBlock",
 ]
+
+# All elementwise blocks have no cross-sample coupling: their ordinary
+# process() is correct per time shard (SignalBlock time-sharding contract).
+for _cls in (AddBlock, SubtractBlock, MultiplyBlock, MultiplyConjugateBlock,
+             MultiplyConstantBlock, AddConstantBlock, AbsoluteValueBlock,
+             ComplexConjugateBlock, ComplexMagnitudeBlock, ComplexPhaseBlock,
+             ComplexToRealBlock, ComplexToImagBlock, ComplexToFloatBlock,
+             RealToComplexBlock, FloatToComplexBlock):
+    _cls.time_local = True
+del _cls

@@ -42,6 +42,22 @@ class FrequencyTranslatorBlock(SignalBlock):
         y, phase = self._ramp.rotate(x, state)
         return phase, y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        # per-shard phase offset = omega * (shard index * local length),
+        # reduced mod 2pi in float64 at trace time — no collectives at all
+        from jax import lax
+        two_pi = np.float32(2 * np.pi)
+        n_local = x.shape[-1]
+        d = lax.axis_size(axis_name)           # static under shard_map
+        idx = lax.axis_index(axis_name)
+        offs = np.mod(self._ramp.omega * n_local * np.arange(d, dtype=np.float64),
+                      2 * np.pi).astype(np.float32)
+        y, _ = self._ramp.rotate(x, state + jnp.asarray(offs)[idx])
+        new = state + np.float32(np.mod(self._ramp.omega * n_local * d,
+                                        2 * np.pi))
+        new = new - two_pi * jnp.round(new / two_pi)
+        return new, y
+
 
 class FrequencyDiscriminatorBlock(SignalBlock):
     """y[n] = arg(x[n] * conj(x[n-1])) / (2*pi*modulation_index)
@@ -62,6 +78,16 @@ class FrequencyDiscriminatorBlock(SignalBlock):
         y = jnp.arctan2(tmp.imag, tmp.real) * np.float32(1.0 / self.gain)
         return x[..., -1], y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        # one-sample halo from the left neighbor (frequencydiscriminator.lua
+        # carries the same single sample across process() calls)
+        from jax import lax
+        from luaradio_tpu.parallel.time import left_halo
+        idx = lax.axis_index(axis_name)
+        prev = jnp.where(idx == 0, state, left_halo(x, 1, axis_name)[..., 0])
+        _, y = self.process(prev, x)
+        return lax.all_gather(x[..., -1], axis_name)[-1], y
+
 
 class FrequencyModulatorBlock(SignalBlock):
     """y[n] = exp(j*phi[n]), phi[n] = phi[n-1] + 2*pi*k*x[n]
@@ -79,6 +105,17 @@ class FrequencyModulatorBlock(SignalBlock):
     def process(self, state, x):
         delta = np.float32(2 * np.pi * self.modulation_index)
         phi, carry = cumsum_phase(x * delta, state)
+        return carry, jnp.exp(1j * phi).astype(jnp.complex64)
+
+    def process_sharded(self, state, x, *, axis_name: str):
+        # the phase accumulator is a distributed cumulative sum
+        from jax import lax
+        from luaradio_tpu.parallel.time import cumsum_sharded
+        delta = np.float32(2 * np.pi * self.modulation_index)
+        two_pi = np.float32(2 * np.pi)
+        phi = cumsum_sharded(x * delta, axis_name) + state[..., None]
+        carry = lax.all_gather(phi[..., -1], axis_name)[-1]
+        carry = carry - two_pi * jnp.round(carry / two_pi)
         return carry, jnp.exp(1j * phi).astype(jnp.complex64)
 
 
@@ -173,3 +210,8 @@ __all__ = [
     "FrequencyModulatorBlock", "PulseAmplitudeModulatorBlock",
     "QuadratureAmplitudeModulatorBlock",
 ]
+
+# Symbol mappers are time-local: the chunk planner keeps every shard's
+# chunk a multiple of the symbol bit/period alignment.
+PulseAmplitudeModulatorBlock.time_local = True
+QuadratureAmplitudeModulatorBlock.time_local = True

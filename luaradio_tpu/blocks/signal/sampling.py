@@ -171,3 +171,13 @@ __all__ = [
     "DownsamplerBlock", "UpsamplerBlock", "DelayBlock", "InterleaveBlock",
     "DeinterleaveBlock", "NopBlock", "ThrottleBlock",
 ]
+
+# Aligned rate changers and pass-throughs are time-local: the chunk planner
+# keeps every shard's chunk a multiple of their phase period, so per-shard
+# process() is exact.  DelayBlock's state is its input tail, handled by the
+# generic halo exchange.
+for _cls in (DownsamplerBlock, UpsamplerBlock, InterleaveBlock,
+             DeinterleaveBlock, NopBlock):
+    _cls.time_local = True
+del _cls
+DelayBlock.tail_state = True

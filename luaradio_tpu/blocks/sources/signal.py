@@ -27,6 +27,8 @@ class ZeroSource(SignalSourceBlock):
         self.rate = rate
         self.add_type_signature([], [Output("out", data_type)])
 
+    time_local = True  # position-independent: per-shard generate is exact
+
     def generate(self, state, length: int):
         return state, jnp.zeros((length,), dtype=self.data_type.dtype)
 
@@ -100,6 +102,30 @@ class SignalSource(SignalSourceBlock):
             y = (np.float32(2.0) * pos - np.float32(1.0)) * a + off
         return state, y.astype(jnp.float32)
 
+    def generate_sharded(self, state, length: int, axis_name: str):
+        """Per-shard generation: offset the carried phase by
+        omega * shard_index * length (reduced mod the waveform period in
+        float64 at trace time) and advance the global state by the full
+        chunk."""
+        if self.signal == "constant":
+            return self.generate(state, length)
+        from jax import lax
+        d = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+        omega = 2 * np.pi * self.frequency / self.rate
+        if self.signal == "exponential":
+            period, wrap = 2 * np.pi, np.float32(2 * np.pi)
+        else:
+            period, wrap = 1.0, np.float32(1.0)
+            omega = omega / (2 * np.pi)
+        offs = np.mod(omega * length * np.arange(d, dtype=np.float64),
+                      period).astype(np.float32)
+        _, y = self.generate(state + jnp.asarray(offs)[idx], length)
+        new = state + np.float32(np.mod(omega * length * d, period))
+        new = jnp.mod(new, wrap) if period == 1.0 else (
+            new - wrap * jnp.round(new / wrap))
+        return new, y
+
 
 class UniformRandomSource(SignalSourceBlock):
     """Uniform random samples of any basic type
@@ -148,6 +174,18 @@ class UniformRandomSource(SignalSourceBlock):
             y = jax.random.randint(sub, (length,), 0, 2,
                                    jnp.int32).astype(jnp.uint8)
         return key, y
+
+    def generate_sharded(self, state, length: int, axis_name: str):
+        """Per-shard generation: fold the shard index into the subkey so
+        every shard draws an independent stream; the carried key advances
+        from the replicated state, identically on all shards."""
+        from jax import lax
+        idx = lax.axis_index(axis_name)
+        key, sub = jax.random.split(
+            jax.random.wrap_key_data(state, impl="rbg"))
+        sub = jax.random.fold_in(sub, idx)
+        _, y = self.generate(jax.random.key_data(sub), length)
+        return jax.random.key_data(key), y
 
 
 __all__ = ["ZeroSource", "NullSource", "SignalSource", "UniformRandomSource"]

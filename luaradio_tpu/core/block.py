@@ -222,15 +222,64 @@ class Block:
 
 class SignalBlock(Block):
     """A device block: pure jax function over chunks, fused into the XLA
-    program. State is an explicit pytree threaded through process()."""
+    program. State is an explicit pytree threaded through process().
+
+    Time-axis sharding contract (the generic runtime shards ANY graph of
+    cooperating blocks over a mesh axis, exchanging carried state as ICI
+    halos — the TPU analog of the reference's one-scheduler-for-every-
+    graph property, composite.lua:514-950):
+
+    * ``time_local = True``: the block has no cross-sample coupling along
+      time (elementwise math, zero-stuffing, aligned decimation) — its
+      ordinary process() is correct per shard.
+    * ``tail_state = True``: the carried state is exactly the last
+      ``state.shape[-1]`` INPUT samples (FIR family, delay lines).  The
+      default process_sharded() then feeds each shard its left neighbor's
+      input tail via ``ppermute`` (the true carry on shard 0) and takes
+      the new global state from the last shard.
+    * otherwise a block that can shard overrides process_sharded()
+      directly (recurrences via distributed prefix scans, mixers via
+      per-shard phase offsets); blocks that cannot (per-sample feedback
+      loops, data-dependent output counts) leave the default, which
+      raises with the block's name.
+    """
 
     domain = "device"
+    time_local = False
+    tail_state = False
 
     def init_state(self) -> Any:
         return None
 
     def process(self, state, *xs):
         raise NotImplementedError
+
+    def process_sharded(self, state, *xs, axis_name: str):
+        """Run one chunk with the time (last) axis sharded over mesh axis
+        ``axis_name``; called inside shard_map.  State is replicated; the
+        returned state must be the global end-of-chunk state (identical on
+        every shard)."""
+        if self.time_local:
+            return self.process(state, *xs)
+        if self.tail_state and len(xs) == 1:
+            import jax.numpy as jnp
+            from jax import lax
+            from luaradio_tpu.parallel.time import left_halo
+
+            x = xs[0]
+            k = state.shape[-1]
+            if k > x.shape[-1]:
+                raise NotImplementedError(
+                    f"{self.name}: carried tail ({k}) exceeds the per-shard "
+                    f"chunk ({x.shape[-1]}); increase chunk_size")
+            halo = left_halo(x.astype(state.dtype), k, axis_name)
+            idx = lax.axis_index(axis_name)
+            local = jnp.where(idx == 0, state, halo)
+            new_local, y = self.process(local, x)
+            return lax.all_gather(new_local, axis_name)[-1], y
+        raise NotImplementedError(
+            f"{self.name} does not support time-axis sharding; use channel "
+            f"banking (mesh with a 'channel' axis) for this graph")
 
 
 class HostBlock(Block):
@@ -270,6 +319,16 @@ class SignalSourceBlock(SourceBlock, SignalBlock):
 
     def generate(self, state, length: int):
         raise NotImplementedError
+
+    def generate_sharded(self, state, length: int, axis_name: str):
+        """Generate this shard's ``length`` samples of the chunk inside
+        shard_map (global chunk = length * axis size).  Sources whose
+        output depends on absolute sample position (oscillators, PRNGs)
+        override this with per-shard offsets/keys."""
+        if self.time_local:
+            return self.generate(state, length)
+        raise NotImplementedError(
+            f"{self.name} does not support time-axis sharding")
 
 
 class HostSourceBlock(SourceBlock, HostBlock):

@@ -175,23 +175,32 @@ class CompositeBlock(Block):
     # -- run API (mirrors composite.lua:514-950) ---------------------------
     def run(self, mode: str = "fused", max_chunks: int | None = None,
             chunk_size: int | None = None, optimize: bool | None = None,
-            mesh=None, channels: int | None = None):
-        """Run the flow graph to completion (EOF of any source)."""
+            mesh=None, channels: int | None = None,
+            channel_axis: str = "channel", time_axis: str = "time"):
+        """Run the flow graph to completion (EOF of any source).
+
+        With ``mesh``, a mesh axis named ``channel_axis`` banks a leading
+        channel dimension and an axis named ``time_axis`` shards every
+        stream's time axis (blocks exchange carried state as ICI halos —
+        see the SignalBlock time-sharding contract)."""
         from luaradio_tpu.core.runtime import Runner
         runner = Runner(self, mode=mode, chunk_size=chunk_size,
-                        optimize=optimize, mesh=mesh, channels=channels)
+                        optimize=optimize, mesh=mesh, channels=channels,
+                        channel_axis=channel_axis, time_axis=time_axis)
         runner.run(max_chunks=max_chunks)
         return self
 
     def start(self, mode: str = "fused", chunk_size: int | None = None,
               optimize: bool | None = None, mesh=None,
-              channels: int | None = None):
+              channels: int | None = None,
+              channel_axis: str = "channel", time_axis: str = "time"):
         from luaradio_tpu.core.runtime import Runner
         if self._runner is not None and self._runner.running:
             raise RuntimeError("flow graph already running")
         self._runner = Runner(self, mode=mode, chunk_size=chunk_size,
                               optimize=optimize, mesh=mesh,
-                              channels=channels)
+                              channels=channels, channel_axis=channel_axis,
+                              time_axis=time_axis)
         self._runner.start()
         return self
 
@@ -220,7 +229,7 @@ class Graph:
     graph."""
 
     def __init__(self, top: CompositeBlock, chunk_size: int | None = None,
-                 optimize: bool | None = None):
+                 optimize: bool | None = None, shards: int = 1):
         self.blocks, self.edges = top._flatten()
         self._validate_connected()
         self.order = self._topo_sort()
@@ -232,7 +241,7 @@ class Graph:
             optimize = opt.enabled_by_env()
         self.n_fusions = opt.optimize_graph(self) if optimize else 0
         self._propagate_batch()
-        self._plan_chunks(chunk_size)
+        self._plan_chunks(chunk_size, shards)
         self._assign_stages()
         self._initialize()
 
@@ -349,7 +358,10 @@ class Graph:
     # seeded at their rate ratio so multi-source graphs stay consistent.
     DEFAULT_CHUNK = 1 << 18  # target samples per chunk at the fastest edge
 
-    def _plan_chunks(self, chunk_size: int | None):
+    def _plan_chunks(self, chunk_size: int | None, shards: int = 1):
+        # ``shards`` > 1 (time-axis sharding) additionally requires every
+        # edge's chunk to split evenly across shards AND every per-shard
+        # chunk to satisfy the block's own chunk_multiple().
         target = chunk_size or self.DEFAULT_CHUNK
         out_q: dict[int, Fraction] = {}  # id(block) -> output chunk fraction
 
@@ -388,6 +400,7 @@ class Graph:
         for b in self.order:
             q = out_q[id(b)] / b.get_rate_ratio() if b.inputs else out_q[id(b)]
             m = b.chunk_multiple() if b.domain == "device" else 1
+            m *= shards
             # base * q must be a positive integer divisible by m
             d = (q.denominator * m) // math.gcd(q.numerator, q.denominator * m)
             required = required // math.gcd(required, d) * d

@@ -60,6 +60,20 @@ def _to_host(value, n_valid=None, masked=False, complex_=False):
     return arr
 
 
+class _Banked(list):
+    """Per-channel host values under channel banking: element c is channel
+    c's output of a host block clone (variable length per channel).  A
+    plain-list subclass so sinks that only measure length see the total."""
+
+    def __len__(self):  # total samples across channels (BenchmarkSink)
+        return sum(len(r) if hasattr(r, "__len__") else 1
+                   for r in list.__iter__(self))
+
+    @property
+    def rows(self):
+        return list(list.__iter__(self))
+
+
 class Segment:
     """A maximal group of device blocks compiled as one XLA program.
 
@@ -71,7 +85,7 @@ class Segment:
 
     def __init__(self, graph: Graph, blocks: list[Block], bid: dict[int, str],
                  jit_compile: bool, mesh=None, channels: int | None = None,
-                 channel_axis: str = "channel",
+                 channel_axis: str = "channel", time_axis: str | None = None,
                  wire_ingest: dict[str, Any] | None = None):
         import jax
 
@@ -80,6 +94,7 @@ class Segment:
         self._fence = None
         self.mesh = mesh
         self.channels = channels
+        self.time_axis = time_axis
         self.wire_ingest = wire_ingest or {}
         in_seg = {id(b) for b in blocks}
 
@@ -124,11 +139,15 @@ class Segment:
         edges = graph.edges
 
         wire = self.wire_ingest
+        tshards = int(mesh.shape[time_axis]) if (
+            mesh is not None and time_axis is not None) else 1
 
         def step(states: dict, ext: dict):
             # wire-ingest edges arrive as raw integer wire samples and are
             # converted to float32 on-device (the host->device link is the
-            # ingest bottleneck; the VPU conversion is free in comparison)
+            # ingest bottleneck; the VPU conversion is free in comparison).
+            # Under time sharding this body runs inside shard_map: blocks
+            # go through their process_sharded/generate_sharded contract.
             vals = {}
             for k, v in ext.items():
                 if k in wire:
@@ -138,13 +157,21 @@ class Segment:
             for b in blocks:
                 k = bid[id(b)]
                 if isinstance(b, SignalSourceBlock):
-                    st, outs = b.generate(states[k], gen_len[k])
+                    if tshards > 1:
+                        st, outs = b.generate_sharded(
+                            states[k], gen_len[k] // tshards, time_axis)
+                    else:
+                        st, outs = b.generate(states[k], gen_len[k])
                 else:
                     ins = []
                     for i in range(len(b.inputs)):
                         src = edges[PortRef(b, i)]
                         ins.append(vals[f"{bid[id(src.block)]}.{src.index}"])
-                    st, outs = b.process(states[k], *ins)
+                    if tshards > 1:
+                        st, outs = b.process_sharded(states[k], *ins,
+                                                     axis_name=time_axis)
+                    else:
+                        st, outs = b.process(states[k], *ins)
                 new_states[k] = st
                 if len(b.outputs) == 1 and not isinstance(outs, (tuple, list)):
                     outs = (outs,)
@@ -163,7 +190,59 @@ class Segment:
 
             return new_states, {ok: boundary(ok) for ok in self.out_keys}
 
-        if mesh is not None:
+        if tshards > 1:
+            # Time-axis sharding: the step runs inside shard_map with every
+            # boundary array split on its LAST axis; carried state is
+            # replicated (each shard computes the identical global state
+            # via the blocks' collectives).  With a channel axis too, the
+            # leading axis banks over it — blocks broadcast leading axes.
+            import inspect
+
+            import jax.numpy as jnp
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            if not jit_compile:
+                raise ValueError("mesh execution requires mode='fused'")
+            chan = channel_axis if channel_axis in mesh.axis_names else None
+
+            def vspec(rank):
+                if chan:
+                    return P(chan, *([None] * (rank - 2)), time_axis)
+                return P(*([None] * (rank - 1)), time_axis)
+
+            if chan:
+                c = channels or int(mesh.shape[channel_axis])
+
+                def init_states():
+                    st = {bid[id(b)]: b.init_state() for b in blocks}
+                    return jax.tree.map(
+                        lambda l: jnp.broadcast_to(jnp.asarray(l),
+                                                   (c,) + jnp.shape(l)), st)
+            else:
+                def init_states():
+                    return {bid[id(b)]: b.init_state() for b in blocks}
+            self.states = jax.jit(init_states)()
+
+            state_specs = jax.tree.map(lambda l: P(chan) if chan else P(),
+                                       self.states)
+            ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys}
+            out_val_specs = {k: vspec(2 if chan else 1)
+                             for k in self.out_keys}
+            kw = {}
+            params = inspect.signature(shard_map).parameters
+            if "check_rep" in params:
+                kw["check_rep"] = False      # states proven replicated by
+            elif "check_vma" in params:      # construction (all_gather),
+                kw["check_vma"] = False      # beyond the checker's reach
+            sm = shard_map(step, mesh=mesh,
+                           in_specs=(state_specs, ext_specs),
+                           out_specs=(state_specs, out_val_specs), **kw)
+            self.fn = jax.jit(sm, donate_argnums=(0,))
+        elif mesh is not None:
             import jax.numpy as jnp
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -318,11 +397,24 @@ class Runner:
                  chunk_size: int | None = None, trace: bool | None = None,
                  optimize: bool | None = None, mesh=None,
                  channels: int | None = None,
-                 channel_axis: str = "channel"):
-        self.graph = Graph(top, chunk_size=chunk_size, optimize=optimize)
+                 channel_axis: str = "channel",
+                 time_axis: str = "time"):
+        # A mesh axis named ``time_axis`` shards every stream's time axis
+        # across devices — the generic form of parallel/time.py, for ANY
+        # graph of blocks that implement the SignalBlock time-sharding
+        # contract (the analog of the reference's one-scheduler-for-every-
+        # graph property, composite.lua:514-950).  A ``channel_axis``
+        # banks a leading channel dimension; both may be present.
+        self._time_sharded = (mesh is not None
+                              and time_axis in mesh.axis_names)
+        self.time_axis = time_axis if self._time_sharded else None
+        tshards = int(mesh.shape[time_axis]) if self._time_sharded else 1
+        self.graph = Graph(top, chunk_size=chunk_size, optimize=optimize,
+                           shards=tshards)
         self.mode = mode
         self.mesh = mesh
-        if mesh is not None and channels is None:
+        chan_banked = mesh is not None and channel_axis in mesh.axis_names
+        if chan_banked and channels is None:
             channels = int(mesh.shape[channel_axis])
         self.channels = channels
         if trace is None:
@@ -331,17 +423,34 @@ class Runner:
         g = self.graph
         self.bid = {id(b): f"b{i}" for i, b in enumerate(g.order)}
 
-        if mesh is not None:
-            # Banked execution: every device block runs vmapped over a
-            # leading channel axis sharded across the mesh; mid-graph host
-            # stages would break the [C, T] batch contract.
+        if mesh is not None and not self._time_sharded \
+                and not chan_banked:
+            raise ValueError(
+                f"mesh has neither a {channel_axis!r} nor a {time_axis!r} "
+                f"axis: nothing to shard over (axes: {mesh.axis_names})")
+
+        # Per-channel host fan-out under channel banking: mid-graph host
+        # blocks (framers, decoders) run as one CLONE per channel, each
+        # consuming its row of the banked device boundary arrays — the
+        # host analog of the vmapped device bank.  Host outputs may not
+        # re-enter device segments (variable-length per-channel streams
+        # have no static banked shape).  Pure time sharding needs none of
+        # this: boundary arrays stay logically global.
+        self._bank_clones: dict[int, list[Block]] = {}
+        if chan_banked:
+            import copy
             for b in g.order:
-                if (b.domain == "host" and b.outputs
-                        and not isinstance(b, HostSourceBlock)):
+                if (b.domain != "host" or not b.outputs
+                        or isinstance(b, HostSourceBlock)):
+                    continue
+                if any(c.block.domain == "device"
+                       for oi in range(len(b.outputs))
+                       for c in g.consumers(PortRef(b, oi))):
                     raise NotImplementedError(
-                        f"mesh execution: host block {b.name} with outputs "
-                        f"is not supported in a channel bank (only device "
-                        f"blocks and terminal sinks)")
+                        f"mesh execution: host block {b.name} feeding a "
+                        f"device block is not supported in a channel bank")
+                self._bank_clones[id(b)] = [copy.deepcopy(b)
+                                            for _ in range(channels)]
 
         self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
 
@@ -387,6 +496,7 @@ class Runner:
                     and not isinstance(b, HostSourceBlock)]
             seg = Segment(g, dev, self.bid, mode == "fused", mesh=mesh,
                           channels=channels, channel_axis=channel_axis,
+                          time_axis=self.time_axis,
                           wire_ingest=self.wire_ingest) if dev else None
             self.stage_plan.append((seg, host))
 
@@ -522,9 +632,65 @@ class Runner:
                 for oi in range(1, len(b.outputs)):
                     nvalid[f"{k}.{oi}"] = nvalid[f"{k}.0"]
 
+    def _run_host_banked(self, b, values, nvalid):
+        """Run host block b once per channel (clones carry per-channel
+        state); banked device inputs are fetched once and sliced row-wise,
+        banked host inputs pass through per channel."""
+        g = self.graph
+        nch = self.channels
+        clones = self._bank_clones.get(id(b))
+        fetched = {}
+        for i in range(len(b.inputs)):
+            src = g.edges[PortRef(b, i)]
+            sk = f"{self.bid[id(src.block)]}.{src.index}"
+            v = values[sk]
+            if isinstance(v, _Banked):
+                fetched[i] = v
+                continue
+            masked = getattr(src.block, "masked_output", False)
+            t = src.block.output_types[src.index]
+            cplx = t is not None and t.dtype.kind == "c"
+            nv = nvalid.get(sk)
+            if masked:
+                vals, mask = v
+                arr = payload_to_host(np.asarray(vals), cplx)
+                m = np.asarray(mask).astype(bool)
+                if nv is not None and nv < m.shape[-1]:
+                    m = m.copy()
+                    m[..., nv:] = False
+                fetched[i] = _Banked([arr[c][m[c]] for c in range(nch)])
+            else:
+                arr = payload_to_host(np.asarray(v), cplx)
+                if nv is not None and nv < arr.shape[-1]:
+                    arr = arr[..., :nv]
+                fetched[i] = _Banked([arr[c] for c in range(nch)])
+
+        outs_rows = []
+        for c in range(nch):
+            blk = clones[c] if clones is not None else b
+            ins = [fetched[i].rows[c] for i in range(len(b.inputs))]
+            outs_rows.append(blk.process(*ins))
+
+        if b.outputs and clones is not None:
+            k = self.bid[id(b)]
+            for oi in range(len(b.outputs)):
+                rows = []
+                for o in outs_rows:
+                    if isinstance(o, tuple):
+                        o = o[oi]
+                    rows.append(o if o is not None else [])
+                values[f"{k}.{oi}"] = _Banked(rows)
+
     def _run_hosts(self, host_blocks, values, nvalid):
         g = self.graph
         for b in host_blocks:
+            if id(b) in self._bank_clones or any(
+                    isinstance(values.get(
+                        f"{self.bid[id(g.edges[PortRef(b, i)].block)]}"
+                        f".{g.edges[PortRef(b, i)].index}"), _Banked)
+                    for i in range(len(b.inputs))):
+                self._run_host_banked(b, values, nvalid)
+                continue
             ins = []
             for i in range(len(b.inputs)):
                 src = g.edges[PortRef(b, i)]
@@ -629,7 +795,8 @@ class Runner:
             self._prefetcher.shutdown()
             self._prefetcher = None
         first_err = None
-        for b in self.graph.order:
+        clones = [c for cl in self._bank_clones.values() for c in cl]
+        for b in list(self.graph.order) + clones:
             try:
                 b.cleanup()
             except BaseException as exc:  # noqa: BLE001 — keep cleaning

@@ -91,13 +91,9 @@ def iir_state_space(b_taps: np.ndarray, a_taps: np.ndarray):
     return A.astype(np.float32), g.astype(np.float32), np.float32(bb[0])
 
 
-def iir_apply(x: jnp.ndarray, A: jnp.ndarray, g: jnp.ndarray, b0,
-              s0: jnp.ndarray):
-    """Apply an order-p IIR via associative scan over affine maps.
-
-    x: [..., N]; A: [p, p]; g: [p]; s0: [..., p] carried state.
-    Returns (y [..., N], s_new [..., p]).
-    """
+def _iir_cums(x: jnp.ndarray, A: jnp.ndarray, g: jnp.ndarray):
+    """Cumulative affine maps of the order-p state space: (mcum [..,N,p,p],
+    vcum [..,N,p]) with s[n] = mcum[n] @ s0 + vcum[n]."""
     n = x.shape[-1]
     lead = x.shape[:-1]
     p = A.shape[0]
@@ -119,14 +115,60 @@ def iir_apply(x: jnp.ndarray, A: jnp.ndarray, g: jnp.ndarray, b0,
                 jnp.einsum("...ij,...j->...i", m2, v1,
                            precision=lax.Precision.HIGHEST) + v2)
 
-    mcum, vcum = lax.associative_scan(combine, (mats, v), axis=-3)
-    # s[n] = mcum[n] @ s0 + vcum[n]
-    s = jnp.einsum("...nij,...j->...ni", mcum, s0.astype(dtype),
+    return lax.associative_scan(combine, (mats, v), axis=-3)
+
+
+def _iir_emit(x, mcum, vcum, b0, s_in):
+    """Outputs and final state given the entering state s_in."""
+    dtype = x.dtype
+    s = jnp.einsum("...nij,...j->...ni", mcum, s_in.astype(dtype),
                    precision=lax.Precision.HIGHEST) + vcum
-    s_prev = jnp.concatenate([s0.astype(dtype)[..., None, :], s[..., :-1, :]],
-                             axis=-2)
+    s_prev = jnp.concatenate(
+        [s_in.astype(dtype)[..., None, :], s[..., :-1, :]], axis=-2)
     y = jnp.asarray(b0, dtype=dtype) * x + s_prev[..., 0]
     return y, s[..., -1, :]
+
+
+def iir_apply(x: jnp.ndarray, A: jnp.ndarray, g: jnp.ndarray, b0,
+              s0: jnp.ndarray):
+    """Apply an order-p IIR via associative scan over affine maps.
+
+    x: [..., N]; A: [p, p]; g: [p]; s0: [..., p] carried state.
+    Returns (y [..., N], s_new [..., p]).
+    """
+    mcum, vcum = _iir_cums(x, A, g)
+    return _iir_emit(x, mcum, vcum, b0, s0)
+
+
+def iir_apply_sharded(x: jnp.ndarray, A_np: np.ndarray, g: jnp.ndarray, b0,
+                      s0: jnp.ndarray, axis_name: str):
+    """Order-p IIR over a time-sharded stream inside shard_map.
+
+    Each shard scans locally; the cross-shard state chain
+    s_in(d) = A^L s_in(d-1) + v_d uses the STATIC matrix power A^L
+    (float64 at trace time) and one all_gather of the p-vector local
+    summaries — O(D p) collective payload.  ``A_np`` must be the host
+    (numpy) state matrix.  Returns (y local, s_new global)."""
+    lseg = x.shape[-1]
+    dtype = x.dtype
+    A = jnp.asarray(A_np)
+    mcum, vcum = _iir_cums(x, A, g)
+    v_last = vcum[..., -1, :]
+    all_v = lax.all_gather(v_last, axis_name)       # [D, ..., p]
+    d = lax.axis_size(axis_name)
+    al = np.linalg.matrix_power(np.asarray(A_np, np.float64), lseg)
+    al = jnp.asarray(al.astype(np.complex64 if jnp.iscomplexobj(x)
+                               else np.float32))
+    s_in = s0.astype(dtype)
+    s_ins = []
+    for dd in range(d):                              # static D, tiny
+        s_ins.append(s_in)
+        s_in = jnp.einsum("ij,...j->...i", al, s_in,
+                          precision=lax.Precision.HIGHEST) + all_v[dd]
+    idx = lax.axis_index(axis_name)
+    mine = jnp.stack(s_ins, axis=0)[idx]
+    y, _ = _iir_emit(x, mcum, vcum, b0, mine)
+    return y, s_in                                   # s_in(D): global final
 
 
 def cumsum_phase(x: jnp.ndarray, phase0) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -140,4 +182,5 @@ def cumsum_phase(x: jnp.ndarray, phase0) -> tuple[jnp.ndarray, jnp.ndarray]:
     return phi, carry
 
 
-__all__ = ["linrec_first_order", "iir_state_space", "iir_apply", "cumsum_phase"]
+__all__ = ["linrec_first_order", "iir_state_space", "iir_apply",
+           "iir_apply_sharded", "cumsum_phase"]

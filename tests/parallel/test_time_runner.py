@@ -1,0 +1,185 @@
+"""Generic time-axis sharding in the Runner.
+
+A SINGLE-channel stream on an 8-virtual-device ("time",) mesh must equal
+the serial run: every ordinary block exchanges its carried state as mesh
+halos / distributed prefixes via the SignalBlock time-sharding contract.
+This is the TPU analog of the reference's one-scheduler-for-every-graph
+property (composite.lua:514-950): no hand-built bank required.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+import luaradio_tpu as lr
+from luaradio_tpu.core.runtime import Runner
+from luaradio_tpu.types import ComplexFloat32, Float32
+
+RNG = np.random.default_rng(31)
+
+
+def _mesh(shape, names):
+    devs = np.array(jax.devices("cpu")[:int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def _run(top, mesh=None, chunk_size=1 << 14, max_chunks=None):
+    r = Runner(top, mode="fused", chunk_size=chunk_size, mesh=mesh)
+    r.run(max_chunks=max_chunks)
+
+
+def _wbfm_graph(iq_path, out_path, rate=256e3):
+    """The rx_wbfm mono chain out of ORDINARY blocks (reference:
+    composites/wbfmmonodemodulator.lua + tuner.lua)."""
+    top = lr.CompositeBlock()
+    top.connect(
+        lr.IQFileSource(iq_path, "f32le", rate),
+        lr.FrequencyTranslatorBlock(-50e3),
+        lr.LowpassFilterBlock(64, 100e3),
+        lr.FrequencyDiscriminatorBlock(1.25),
+        lr.LowpassFilterBlock(32, 15e3, use_fft=False),
+        lr.FMDeemphasisFilterBlock(75e-6),
+        lr.DownsamplerBlock(8),
+        lr.RealFileSink(str(out_path), "f32le"))
+    return top
+
+
+def test_wbfm_mono_time_sharded_equals_serial(tmp_path):
+    n = 1 << 16
+    x = (np.exp(1j * 0.3 * np.cumsum(RNG.standard_normal(n)))
+         ).astype(np.complex64)
+    iq = str(tmp_path / "x.iq")
+    with open(iq, "wb") as f:
+        f.write(x.tobytes())
+
+    out_serial = tmp_path / "serial.f32"
+    _run(_wbfm_graph(iq, out_serial))
+    expect = np.fromfile(out_serial, dtype=np.float32)
+
+    out_mesh = tmp_path / "mesh.f32"
+    _run(_wbfm_graph(iq, out_mesh), mesh=_mesh((8,), ("time",)))
+    got = np.fromfile(out_mesh, dtype=np.float32)
+
+    assert got.shape == expect.shape
+    assert np.max(np.abs(got - expect)) < 1e-5
+
+
+def test_time_sharded_chunk_boundaries_match(tmp_path):
+    """Carried state across CHUNK boundaries must also survive sharding:
+    different chunk sizes give identical streams."""
+    n = 1 << 15
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+         ).astype(np.complex64)
+    iq = str(tmp_path / "x.iq")
+    with open(iq, "wb") as f:
+        f.write(x.tobytes())
+
+    taps = RNG.standard_normal(33).astype(np.float32)
+    outs = []
+    for cs in (1 << 13, 1 << 15):
+        out = tmp_path / f"o{cs}.f32"
+        top = lr.CompositeBlock()
+        top.connect(lr.IQFileSource(iq, "f32le", 1e6),
+                    lr.FIRFilterBlock(taps, use_fft=False),
+                    lr.FrequencyDiscriminatorBlock(2.0),
+                    lr.RealFileSink(str(out), "f32le"))
+        _run(top, mesh=_mesh((8,), ("time",)), chunk_size=cs)
+        outs.append(np.fromfile(out, dtype=np.float32))
+    assert outs[0].shape == outs[1].shape
+    # sample 0 is atan2(+-0, +-0) of the discriminator's zero initial
+    # state: its sign depends on sub-ulp rounding that varies with the
+    # chunk framing (serial runs have the same property) — skip it
+    assert np.max(np.abs(outs[0][1:] - outs[1][1:])) < 1e-6
+
+
+def test_time_sharded_device_sources_and_recurrences(tmp_path):
+    """Device sources (oscillator phase offsets per shard), IIR prefix
+    scans, AGC data-dependent scans, and the FM modulator cumsum under
+    ("time",) sharding."""
+    def graph(out_path):
+        top = lr.CompositeBlock()
+        top.connect(
+            lr.SignalSource("cosine", 1200.0, 48e3, amplitude=0.4),
+            lr.FMPreemphasisFilterBlock(75e-6),
+            lr.FrequencyModulatorBlock(0.1),
+            lr.AGCBlock("fast"),
+            lr.ComplexToRealBlock(),
+            lr.RealFileSink(str(out_path), "f32le"))
+        return top
+
+    a = tmp_path / "serial.f32"
+    _run(graph(a), max_chunks=6, chunk_size=1 << 13)
+    b = tmp_path / "mesh.f32"
+    _run(graph(b), mesh=_mesh((8,), ("time",)), max_chunks=6,
+         chunk_size=1 << 13)
+    xa = np.fromfile(a, dtype=np.float32)
+    xb = np.fromfile(b, dtype=np.float32)
+    assert xa.shape == xb.shape
+    assert np.max(np.abs(xa - xb)) < 2e-5
+
+
+def test_time_sharded_fft_fir_and_hilbert(tmp_path):
+    """FFT overlap-save FIR (frame-tail halos) and the Hilbert transform
+    under time sharding."""
+    n = 1 << 16
+    x = RNG.standard_normal(n).astype(np.float32)
+    raw = str(tmp_path / "x.f32")
+    with open(raw, "wb") as f:
+        f.write(x.tobytes())
+
+    taps = RNG.standard_normal(129).astype(np.float32)
+
+    def graph(out_path):
+        top = lr.CompositeBlock()
+        top.connect(lr.RealFileSource(raw, "f32le", 1e6),
+                    lr.FIRFilterBlock(taps, use_fft=True),
+                    lr.HilbertTransformBlock(65),
+                    lr.ComplexMagnitudeBlock(),
+                    lr.RealFileSink(str(out_path), "f32le"))
+        return top
+
+    a = tmp_path / "serial.f32"
+    _run(graph(a), chunk_size=1 << 15)
+    b = tmp_path / "mesh.f32"
+    _run(graph(b), mesh=_mesh((8,), ("time",)), chunk_size=1 << 15)
+    xa = np.fromfile(a, dtype=np.float32)
+    xb = np.fromfile(b, dtype=np.float32)
+    assert xa.shape == xb.shape
+    assert np.max(np.abs(xa - xb)) < 1e-4
+
+
+def test_unsupported_block_raises_clearly():
+    """A per-sample feedback loop (PLL) cannot time-shard: the Runner must
+    say so by name, not crash deep in tracing."""
+    top = lr.CompositeBlock()
+    top.connect(lr.UniformRandomSource(ComplexFloat32, 1e6),
+                lr.PLLBlock(100.0, 1e3, 2e3),
+                lr.NopSink())
+    with pytest.raises(NotImplementedError, match="PLLBlock"):
+        _run(top, mesh=_mesh((8,), ("time",)), max_chunks=1)
+
+
+def test_random_source_shards_deterministically(tmp_path):
+    """UniformRandomSource under time sharding: per-shard independent
+    streams, deterministic across runs."""
+    def graph(out_path):
+        top = lr.CompositeBlock()
+        top.connect(lr.UniformRandomSource(Float32, 1e6, seed=7),
+                    lr.MultiplyConstantBlock(2.0),
+                    lr.RealFileSink(str(out_path), "f32le"))
+        return top
+
+    mesh = _mesh((8,), ("time",))
+    a = tmp_path / "a.f32"
+    _run(graph(a), mesh=mesh, max_chunks=3, chunk_size=1 << 13)
+    b = tmp_path / "b.f32"
+    _run(graph(b), mesh=mesh, max_chunks=3, chunk_size=1 << 13)
+    xa = np.fromfile(a, dtype=np.float32)
+    xb = np.fromfile(b, dtype=np.float32)
+    assert xa.shape[0] >= 3 * (1 << 13)
+    assert np.array_equal(xa, xb)
+    # shards draw from folded subkeys: the 8 shard segments must differ
+    seg = xa[:1 << 13].reshape(8, -1)
+    assert not np.allclose(seg[0], seg[1])
