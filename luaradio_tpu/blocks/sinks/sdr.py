@@ -66,17 +66,13 @@ class _SDRSinkBase(SinkBlock):
     def process(self, x):
         buf = np.ascontiguousarray(np.asarray(x, dtype=np.complex64))
         # Back-pressure: block the pump while the ring is full (the
-        # hardware drains it at the TX rate).
+        # hardware drains it at the TX rate).  write_blocking waits on the
+        # ring's condition under its lock — no counter rollback races.
         pos = 0
         while pos < len(buf):
             take = min(len(buf) - pos, self.ring.capacity // 2)
-            while not self.ring.write(buf[pos:pos + take]):
-                if self.ring.closed:
-                    return
-                import time
-                time.sleep(float(take) / max(self.get_rate(), 1.0) / 4)
-                self.ring.overflows -= 1  # retried, not dropped
-                self.ring.dropped_samples -= take
+            if not self.ring.write_blocking(buf[pos:pos + take]):
+                return  # closed (shutdown)
             pos += take
 
 

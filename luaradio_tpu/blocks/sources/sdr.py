@@ -122,14 +122,30 @@ class _ReaderThreadSource(_SDRSourceBase):
     def _read_hw(self) -> np.ndarray | None:
         raise NotImplementedError
 
-    def _stop_reader(self):
+    def _stop_reader(self) -> bool:
+        """Stop the reader thread.  Returns True when it has exited — only
+        then may the caller free the vendor handle.  A reader stalled
+        inside a blocking vendor call (dead hardware) keeps the handle
+        alive (leaked, with a warning) instead of a use-after-free."""
+        ok = True
         if getattr(self, "_reader_stop", None) is not None:
             self._reader_stop.set()
-        if getattr(self, "_reader", None) is not None:
-            self._reader.join(timeout=2.0)
-            self._reader = None
         if self.ring is not None:
-            self.ring.close()
+            self.ring.close()   # unblocks a reader waiting on ring space
+        reader = getattr(self, "_reader", None)
+        if reader is not None:
+            reader.join(timeout=2.0)
+            if reader.is_alive():
+                import warnings
+                warnings.warn(
+                    f"{self.name}: reader thread still blocked in the "
+                    f"vendor library after 2s; leaking the device handle "
+                    f"instead of freeing it under the reader",
+                    RuntimeWarning, stacklevel=2)
+                ok = False
+            else:
+                self._reader = None
+        return ok
 
 
 # ---------------------------------------------------------------------------
@@ -183,8 +199,7 @@ class RtlSdrSource(_ReaderThreadSource):
             else (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
 
     def cleanup(self):
-        self._stop_reader()
-        if getattr(self, "_dev", None):
+        if self._stop_reader() and getattr(self, "_dev", None):
             self._lib.rtlsdr_close(self._dev)
             self._dev = None
 
@@ -544,8 +559,7 @@ class BladeRFSource(_ReaderThreadSource):
         return iq.view(np.complex64)
 
     def cleanup(self):
-        self._stop_reader()
-        if getattr(self, "_dev", None):
+        if self._stop_reader() and getattr(self, "_dev", None):
             self._lib.bladerf_enable_module(self._dev, self._ch, False)
             self._lib.bladerf_close(self._dev)
             self._dev = None
@@ -596,8 +610,11 @@ _UHD_STREAM_MODE_STOP_CONTINUOUS = 111
 class UHDSource(_ReaderThreadSource):
     """Ettus USRP source via the libuhd C API (reference: uhd.lua:1-658).
 
-    Options: channel (int, default 0), gain (dB, overall), bandwidth (Hz),
-    antenna (str), autogain (default True when gain is None)."""
+    Options: channel (int, default 0), gain (dB, overall), gains (dict of
+    per-stage gain element name -> dB, reference uhd.lua options.gains),
+    bandwidth (Hz), antenna (str), autogain (default True when no gain
+    given), clock_source / time_source (str, e.g. "external", "gpsdo"),
+    subdev (str subdevice spec, e.g. "A:0")."""
 
     LIBRARY_NAMES = ("uhd",)
     _RECV_SAMPLES = 1 << 16
@@ -618,16 +635,42 @@ class UHDSource(_ReaderThreadSource):
                     lib.uhd_usrp_make(byref(usrp), self.device.encode()))
         self._usrp = usrp
         ch = c_size_t(int(self.options.get("channel", 0)))
+        mb = c_size_t(0)
+        # motherboard-level configuration (clock/time source, subdevice)
+        if "clock_source" in self.options:
+            self._check("uhd_usrp_set_clock_source",
+                        lib.uhd_usrp_set_clock_source(
+                            usrp, self.options["clock_source"].encode(), mb))
+        if "time_source" in self.options:
+            self._check("uhd_usrp_set_time_source",
+                        lib.uhd_usrp_set_time_source(
+                            usrp, self.options["time_source"].encode(), mb))
+        if "subdev" in self.options:
+            spec = c_void_p()
+            self._check("uhd_subdev_spec_make",
+                        lib.uhd_subdev_spec_make(
+                            byref(spec), self.options["subdev"].encode()))
+            try:
+                self._check("uhd_usrp_set_rx_subdev_spec",
+                            lib.uhd_usrp_set_rx_subdev_spec(usrp, spec, mb))
+            finally:
+                lib.uhd_subdev_spec_free(byref(spec))
         self._check("uhd_usrp_set_rx_rate",
                     lib.uhd_usrp_set_rx_rate(usrp, c_double(self.rate), ch))
         gain = self.options.get("gain")
-        autogain = self.options.get("autogain", gain is None)
+        autogain = self.options.get("autogain", gain is None
+                                    and not self.options.get("gains"))
         if autogain and hasattr(lib, "uhd_usrp_set_rx_agc"):
             lib.uhd_usrp_set_rx_agc(usrp, True, ch)
         elif gain is not None:
             self._check("uhd_usrp_set_rx_gain",
                         lib.uhd_usrp_set_rx_gain(usrp, c_double(gain), ch,
                                                  b""))
+        # per-stage named gain elements (reference uhd.lua options.gains)
+        for gname, gval in (self.options.get("gains") or {}).items():
+            self._check("uhd_usrp_set_rx_gain",
+                        lib.uhd_usrp_set_rx_gain(usrp, c_double(gval), ch,
+                                                 gname.encode()))
         if "bandwidth" in self.options:
             self._check("uhd_usrp_set_rx_bandwidth",
                         lib.uhd_usrp_set_rx_bandwidth(
@@ -680,7 +723,8 @@ class UHDSource(_ReaderThreadSource):
         return self._buf[:got.value].copy()
 
     def cleanup(self):
-        self._stop_reader()
+        if not self._stop_reader():
+            return  # reader stalled in uhd recv: leak rather than free
         lib = getattr(self, "_lib", None)
         if getattr(self, "_rx", None) and lib is not None:
             cmd = _uhd_stream_cmd(
@@ -720,6 +764,91 @@ class _sdrplay_stream_cb_params(ctypes.Structure):
                 ("reset", c_uint32)]
 
 
+# Nested device-parameter structures per the published sdrplay_api.h v3
+# layout (the same declarations the reference carries as FFI cdefs,
+# sdrplay.lua:108-199).  Only the leading members of DevParamsT and
+# RxChannelParamsT are declared: the API owns the allocations, so partial
+# prefix declarations are safe for field access and immune to the
+# device-model-specific tails.
+
+class _sdrplay_fs_freq(ctypes.Structure):
+    _fields_ = [("fsHz", c_double), ("syncUpdate", c_uint8),
+                ("reCal", c_uint8)]
+
+
+class _sdrplay_dev_params(ctypes.Structure):
+    _fields_ = [("ppm", c_double), ("fsFreq", _sdrplay_fs_freq)]
+
+
+class _sdrplay_gain_values(ctypes.Structure):
+    _fields_ = [("curr", ctypes.c_float), ("max", ctypes.c_float),
+                ("min", ctypes.c_float)]
+
+
+class _sdrplay_gain(ctypes.Structure):
+    _fields_ = [("gRdB", c_int), ("LNAstate", c_uint8),
+                ("syncUpdate", c_uint8), ("minGr", c_int),
+                ("gainVals", _sdrplay_gain_values)]
+
+
+class _sdrplay_rf_freq(ctypes.Structure):
+    _fields_ = [("rfHz", c_double), ("syncUpdate", c_uint8)]
+
+
+class _sdrplay_dc_offset_tuner(ctypes.Structure):
+    _fields_ = [("dcCal", c_uint8), ("speedUp", c_uint8),
+                ("trackTime", c_int), ("refreshRateTime", c_int)]
+
+
+class _sdrplay_tuner_params(ctypes.Structure):
+    _fields_ = [("bwType", c_int), ("ifType", c_int), ("loMode", c_int),
+                ("gain", _sdrplay_gain), ("rfFreq", _sdrplay_rf_freq),
+                ("dcOffsetTuner", _sdrplay_dc_offset_tuner)]
+
+
+class _sdrplay_dc_offset(ctypes.Structure):
+    _fields_ = [("DCenable", c_uint8), ("IQenable", c_uint8)]
+
+
+class _sdrplay_decimation(ctypes.Structure):
+    _fields_ = [("enable", c_uint8), ("decimationFactor", c_uint8),
+                ("wideBandSignal", c_uint8)]
+
+
+class _sdrplay_agc(ctypes.Structure):
+    _fields_ = [("enable", c_int), ("setPoint_dBfs", c_int),
+                ("attack_ms", ctypes.c_ushort), ("decay_ms", ctypes.c_ushort),
+                ("decay_delay_ms", ctypes.c_ushort),
+                ("decay_threshold_dB", ctypes.c_ushort),
+                ("syncUpdate", c_int)]
+
+
+class _sdrplay_ctrl_params(ctypes.Structure):
+    _fields_ = [("dcOffset", _sdrplay_dc_offset),
+                ("decimation", _sdrplay_decimation),
+                ("agc", _sdrplay_agc), ("adsbMode", c_int)]
+
+
+class _sdrplay_rx_channel_params(ctypes.Structure):
+    _fields_ = [("tunerParams", _sdrplay_tuner_params),
+                ("ctrlParams", _sdrplay_ctrl_params)]
+
+
+class _sdrplay_device_params(ctypes.Structure):
+    _fields_ = [("devParams", POINTER(_sdrplay_dev_params)),
+                ("rxChannelA", POINTER(_sdrplay_rx_channel_params)),
+                ("rxChannelB", POINTER(_sdrplay_rx_channel_params))]
+
+
+#: sdrplay_api_Bw_MHzT values (kHz); chosen nearest-below like the
+#: reference's compute_bandwidth_closest (sdrplay.lua)
+_SDRPLAY_BANDWIDTHS_KHZ = (200, 300, 600, 1536, 5000, 6000, 7000, 8000)
+
+#: sdrplay_api_If_kHzT / AgcControlT values
+_SDRPLAY_IF_MODES = {0: 0, 450: 450, 1620: 1620, 2048: 2048}
+_SDRPLAY_AGC_MODES = {"disable": 0, "100hz": 1, "50hz": 2, "5hz": 3}
+
+
 _SDRPLAY_STREAM_CB = CFUNCTYPE(
     None, POINTER(c_int16), POINTER(c_int16),
     POINTER(_sdrplay_stream_cb_params), c_uint32, c_uint32, c_void_p)
@@ -735,13 +864,16 @@ class _sdrplay_callback_fns(ctypes.Structure):
 class SDRplaySource(_SDRSourceBase):
     """SDRplay RSP source via sdrplay_api v3 (reference: sdrplay.lua:1-984).
 
-    The v3 service API hands out a nested device-params struct to mutate;
-    this binding uses the documented entry points (Open/SelectDevice/Init/
-    Uninit/ReleaseDevice/Close) with the stream callback feeding the ring.
-    Parameter tuning beyond frequency/rate (gain reduction, IF/BW modes) is
-    applied through sdrplay_api_Update when the library exposes it.
+    The v3 service API hands out a nested device-params struct to mutate
+    before Init; this binding declares the documented DeviceParamsT /
+    DevParamsT / RxChannelParamsT structure family and writes fields at
+    their true offsets (reference sets the same fields,
+    sdrplay.lua:654-661).
 
-    Options: gain_reduction (dB, default 40), bandwidth (Hz)."""
+    Options: gain_reduction (dB, default 40), bandwidth (Hz, default =
+    sample rate), lna_state (default 0), if_mode (kHz: 0/450/1620/2048),
+    agc ("disable"/"100hz"/"50hz"/"5hz"), agc_setpoint (dBfs),
+    dc_correction (bool), iq_correction (bool), freq_correction (ppm)."""
 
     LIBRARY_NAMES = ("sdrplay_api", "mirsdrapi-rsp")
 
@@ -767,7 +899,7 @@ class SDRplaySource(_SDRSourceBase):
             raise RuntimeError(f"sdrplay_api_SelectDevice() failed ({r})")
 
         ring = self._make_ring()
-        scale = np.float32(1.0 / 32768.0)
+        scale = np.float32(1.0 / 32767.5)  # reference sdrplay.lua scaling
 
         def on_stream(xi, xq, params_ptr, num, reset, ctx):
             n = int(num)
@@ -785,36 +917,62 @@ class SDRplaySource(_SDRSourceBase):
             StreamBCbFn=_SDRPLAY_STREAM_CB(lambda *a: None),
             EventCbFn=_SDRPLAY_EVENT_CB(on_event))
 
-        # Device params: frequency / sample rate / gain via the nested
-        # param struct when available (layout varies across API minor
-        # versions; fall back to defaults if absent).
-        if hasattr(lib, "sdrplay_api_GetDeviceParams"):
-            params = c_void_p()
-            lib.sdrplay_api_GetDeviceParams(self._devt.dev, byref(params))
-            self._apply_params(params)
+        # Device params: configure the nested param structs before Init
+        # (required entry point per sdrplay_api.h; the reference errors if
+        # absent, sdrplay.lua:642-645).
+        params = POINTER(_sdrplay_device_params)()
+        r = lib.sdrplay_api_GetDeviceParams(self._devt.dev, byref(params))
+        if r != 0 or not params:
+            raise RuntimeError(f"sdrplay_api_GetDeviceParams() failed ({r})")
+        self._apply_params(params)
 
         r = lib.sdrplay_api_Init(self._devt.dev, byref(self._cbs), None)
         if r != 0:
             raise RuntimeError(f"sdrplay_api_Init() failed ({r})")
 
+    @staticmethod
+    def _bandwidth_enum(hz: float) -> int:
+        """Closest-below sdrplay_api_Bw_MHzT value (kHz), like the
+        reference's compute_bandwidth_closest."""
+        khz = hz / 1e3
+        below = [b for b in _SDRPLAY_BANDWIDTHS_KHZ if b <= khz]
+        return below[-1] if below else _SDRPLAY_BANDWIDTHS_KHZ[0]
+
     def _apply_params(self, params):
-        """Poke rfHz / fsHz into the nested sdrplay param structs.  The
-        offsets follow the published sdrplay_api.h v3 layout; wrapped in a
-        guard so an unexpected library build degrades to defaults instead
-        of corrupting memory."""
-        try:
-            if not params or not params.value:
-                return
-            # deviceParams->devParams->fsFreq.fsHz (double at known offset)
-            dev_params = ctypes.cast(params, POINTER(c_void_p))[0]
-            if dev_params:
-                ctypes.cast(dev_params, POINTER(c_double))[0] = self.rate
-            # deviceParams->rxChannelA->tunerParams.rfFreq.rfHz
-            rx_a = ctypes.cast(params, POINTER(c_void_p))[1]
-            if rx_a:
-                ctypes.cast(rx_a, POINTER(c_double))[0] = self.frequency
-        except (ValueError, ctypes.ArgumentError):
-            pass
+        """Write frequency/rate/tuner/control fields into the declared
+        sdrplay_api v3 structures (reference: sdrplay.lua:654-661)."""
+        opts = self.options
+        dp = params.contents
+        if dp.devParams:
+            dev = dp.devParams.contents
+            dev.ppm = float(opts.get("freq_correction", 0.0))
+            dev.fsFreq.fsHz = float(self.rate)
+        if not dp.rxChannelA:
+            return
+        ch = dp.rxChannelA.contents
+        t = ch.tunerParams
+        t.bwType = self._bandwidth_enum(
+            float(opts.get("bandwidth", self.rate)))
+        if_mode = int(opts.get("if_mode", 0))
+        if if_mode not in _SDRPLAY_IF_MODES:
+            raise ValueError(f"sdrplay: invalid if_mode {if_mode} "
+                             f"(choose from {sorted(_SDRPLAY_IF_MODES)})")
+        t.ifType = _SDRPLAY_IF_MODES[if_mode]
+        t.loMode = 0  # sdrplay_api_LO_Auto
+        t.gain.gRdB = int(opts.get("gain_reduction", 40))
+        t.gain.minGr = 0  # sdrplay_api_NORMAL_MIN_GR
+        t.gain.LNAstate = int(opts.get("lna_state", 0))
+        t.rfFreq.rfHz = float(self.frequency)
+        c = ch.ctrlParams
+        agc = str(opts.get("agc", "disable")).lower()
+        if agc not in _SDRPLAY_AGC_MODES:
+            raise ValueError(f"sdrplay: invalid agc mode {agc!r} "
+                             f"(choose from {sorted(_SDRPLAY_AGC_MODES)})")
+        c.agc.enable = _SDRPLAY_AGC_MODES[agc]
+        if "agc_setpoint" in opts:
+            c.agc.setPoint_dBfs = int(opts["agc_setpoint"])
+        c.dcOffset.DCenable = 1 if opts.get("dc_correction", True) else 0
+        c.dcOffset.IQenable = 1 if opts.get("iq_correction", True) else 0
 
     def cleanup(self):
         lib = getattr(self, "_lib", None)
@@ -876,7 +1034,8 @@ class SoapySDRSource(_ReaderThreadSource):
         return self._buf[:sr.ret].copy()
 
     def cleanup(self):
-        self._stop_reader()
+        if not self._stop_reader():
+            return  # reader stalled in readStream: leak rather than free
         if getattr(self, "_stream", None):
             self._dev.deactivateStream(self._stream)
             self._dev.closeStream(self._stream)

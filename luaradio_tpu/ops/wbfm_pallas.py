@@ -143,7 +143,9 @@ def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
     smat = _deint_matrix()
     tmat = _decim_tap_matrix(taps, b, d)
     w = tmat.shape[0]
-    if w - b * d > b * d:
+    if halo > b * d:
+        # the in-kernel frame pad is b*d - (K-1); any longer tap vector
+        # would pad negatively and fail at trace time
         raise ValueError("taps too long for the frame window; raise block")
 
     kern = functools.partial(_kernel, halo, tile, d, b, np.float32(inv_gain))

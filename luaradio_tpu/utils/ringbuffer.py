@@ -61,6 +61,34 @@ class SampleRingBuffer:
             self._nonempty.notify()
             return True
 
+    def write_blocking(self, samples: np.ndarray,
+                       timeout: float | None = None) -> bool:
+        """Append samples, WAITING for space instead of dropping (producer
+        back-pressure, used by TX sinks whose consumer is the hardware).
+        Returns False only on close or timeout; never touches the
+        overflow/drop counters — those are the lossy-ingest surface."""
+        samples = np.asarray(samples).reshape(-1)
+        n = len(samples)
+        if n > self.capacity:
+            raise ValueError(f"write of {n} samples exceeds ring capacity "
+                             f"{self.capacity}")
+        with self._nonempty:
+            if not self._nonempty.wait_for(
+                    lambda: self._closed
+                    or n <= self.capacity - (self._wr - self._rd),
+                    timeout=timeout):
+                return False
+            if self._closed:
+                return False
+            pos = self._wr % self.capacity
+            first = min(n, self.capacity - pos)
+            self._buf[pos:pos + first] = samples[:first]
+            if first < n:
+                self._buf[:n - first] = samples[first:]
+            self._wr += n
+            self._nonempty.notify_all()
+            return True
+
     def read(self, n: int, timeout: float | None = None) -> np.ndarray | None:
         """Read up to n samples, blocking until at least one sample is
         available (or timeout / close).  Returns None when the buffer is
@@ -81,6 +109,7 @@ class SampleRingBuffer:
             if first < take:
                 out[first:] = self._buf[:take - first]
             self._rd += take
+            self._nonempty.notify_all()  # wakes write_blocking producers
             return out
 
     def close(self):
