@@ -79,20 +79,87 @@ def run(max_devices: int | None = None, emit=print,
         results.append(rec)
         emit(json.dumps(rec))
 
+    max_ovh = max(r["overhead_vs_single"] for r in results)
     summary = {
         "host_cores": os.cpu_count(),
         "n_real_devices": len(jax.devices()),
         "platform": devices[0].platform,
         "virtual_mesh": devices[0].platform == "cpu",
+        # The SECONDARY METRIC on a virtual mesh is overhead_vs_single:
+        # same total work, sharded vs unsharded.  'efficiency' there is
+        # bounded by host_cores/n and measures core oversubscription, not
+        # the framework.  Projection to real hardware: under weak scaling
+        # the sharded step adds only the measured structural overhead
+        # (halo ppermutes, prefix-combine all_gathers, SPMD bookkeeping),
+        # so projected efficiency ~ 1/(1 + overhead) -- ASSUMING ICI
+        # bandwidth keeps the (tiny, O(taps) per shard) halo payloads
+        # latency-dominated, which cannot be validated without a pod.
+        "secondary_metric": "overhead_vs_single",
         "note": ("virtual-device meshes share host cores: 'efficiency' is "
                  "bounded by ncores/n there; 'overhead_vs_single' (same "
                  "work, sharded vs not) is the structural metric"),
-        "max_overhead_vs_single": max(r["overhead_vs_single"]
-                                      for r in results),
+        "max_overhead_vs_single": max_ovh,
+        "projected_real_pod_efficiency": 1.0 / (1.0 + max(max_ovh, 0.0)),
+        "projection_assumption": (
+            "weak scaling; halo/prefix collective payloads are O(taps) "
+            "per shard boundary and ride ICI; unvalidated without "
+            "multi-chip hardware"),
         "results": results,
     }
     emit(json.dumps(summary))
     return summary
+
+
+def run_generic(max_devices: int | None = None, emit=print):
+    """Same structural-overhead measurement for the GENERIC time-sharded
+    Runner (round 3): an ordinary-blocks WBFM mono graph on a ("time",)
+    mesh vs the serial runner, fixed total work."""
+    import jax
+    from jax.sharding import Mesh
+
+    import luaradio_tpu as lr
+    from luaradio_tpu.core.runtime import Runner
+    from luaradio_tpu.types import ComplexFloat32
+
+    devices = jax.devices()
+    nd = len(devices) if max_devices is None else min(len(devices),
+                                                      max_devices)
+    sizes = [d for d in (2, 4, 8, 16) if d <= nd]
+
+    def build():
+        top = lr.CompositeBlock()
+        top.connect(lr.UniformRandomSource(ComplexFloat32, 256e3),
+                    lr.WBFMMonoDemodulator(),
+                    lr.DownsamplerBlock(8), lr.NopSink())
+        return top
+
+    def time_run(mesh):
+        r = Runner(build(), mode="fused", chunk_size=1 << 16, mesh=mesh)
+        segs = [s for s, _ in r.stage_plan if s is not None]
+        r._pump_once()
+        for s in segs:
+            s.drain()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                r._pump_once()
+            for s in segs:
+                s.drain()
+            best = min(best, (time.perf_counter() - t0) / 4)
+        r._cleanup_once()
+        return best
+
+    base = time_run(None)
+    rows = []
+    for n in sizes:
+        mesh = Mesh(np.asarray(devices[:n]), ("time",))
+        t = time_run(mesh)
+        rec = {"devices": n, "mesh": [n], "axis": "time",
+               "overhead_vs_single": t / base - 1.0}
+        rows.append(rec)
+        emit(json.dumps(rec))
+    return rows
 
 
 if __name__ == "__main__":
@@ -101,6 +168,13 @@ if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--out":
         out = sys.argv[2]
     summary = run()
+    try:
+        summary["generic_runner_results"] = run_generic()
+        summary["max_overhead_generic_runner"] = max(
+            (r["overhead_vs_single"]
+             for r in summary["generic_runner_results"]), default=None)
+    except Exception as exc:  # noqa: BLE001 — keep the bank numbers
+        summary["generic_runner_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if out:
         with open(out, "w") as f:
             json.dump(summary, f, indent=1)

@@ -338,8 +338,9 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
         cross = (s != s_prev) & ~hold
 
         # Most recent crossing index (or -1): cumulative max.
+        from luaradio_tpu.ops.scan import cummax_blocked
         idx = jnp.arange(n, dtype=jnp.float32)
-        c = lax.cummax(jnp.where(cross, idx, -1.0), axis=x.ndim - 1)
+        c = cummax_blocked(jnp.where(cross, idx, -1.0))
         has = c >= 0.0
 
         k = idx - c + 1.0                       # decrements since crossing

@@ -39,13 +39,12 @@ def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     Two-level blocked scan: a plain associative_scan is ~log2(N) elementwise
     passes over HBM; blocking into [N/B, B] scans the short block axis, then
     the tiny summary axis, then applies the carries — ~3 passes total.
-    Falls back to the flat scan when a is an array (data-dependent decay,
-    e.g. the AGC gate) or N is small/ragged.
+    Works for array-valued ``a`` too (data-dependent decay: the AGC gate,
+    clock-recovery hysteresis); only small/ragged chunks take the flat scan.
     """
-    a_is_array = hasattr(a, "shape") and np.ndim(a) > 0
     n = u.shape[-1]
     B = 256
-    if a_is_array or n < 4 * B or n % B != 0:
+    if n < 4 * B or n % B != 0:
         a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
         acum, ucum = lax.associative_scan(_affine_combine, (a_arr, u),
                                           axis=-1)
@@ -55,7 +54,8 @@ def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     lead = u.shape[:-1]
     nb = n // B
     ub = u.reshape(lead + (nb, B))
-    ab = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), ub.shape)
+    ab = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype),
+                          u.shape).reshape(lead + (nb, B))
     acum, ucum = lax.associative_scan(_affine_combine, (ab, ub), axis=-1)
     # block summaries -> exclusive carry per block
     sa = acum[..., -1]
@@ -171,6 +171,26 @@ def iir_apply_sharded(x: jnp.ndarray, A_np: np.ndarray, g: jnp.ndarray, b0,
     return y, s_in                                   # s_in(D): global final
 
 
+def cummax_blocked(x: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative max along the last axis via the same two-level blocking
+    as :func:`linrec_first_order` (~3 HBM passes instead of log2(N); XLA's
+    lax.cummax lowers to a log-depth pass sequence)."""
+    n = x.shape[-1]
+    B = 256
+    if n < 4 * B or n % B != 0:
+        return lax.cummax(x, axis=x.ndim - 1)
+    lead = x.shape[:-1]
+    nb = n // B
+    xb = x.reshape(lead + (nb, B))
+    local = lax.cummax(xb, axis=xb.ndim - 1)
+    heads = local[..., -1]                       # per-block maxes
+    carry = lax.cummax(heads, axis=heads.ndim - 1)
+    prev = jnp.concatenate(
+        [jnp.full_like(carry[..., :1], -np.inf), carry[..., :-1]], axis=-1)
+    y = jnp.maximum(local, prev[..., None])
+    return y.reshape(lead + (n,))
+
+
 def cumsum_phase(x: jnp.ndarray, phase0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Running phase accumulation with wrap-around: phi[n] = phi[n-1] + x[n],
     kept in (-pi, pi] to preserve float32 precision over unbounded streams.
@@ -183,4 +203,4 @@ def cumsum_phase(x: jnp.ndarray, phase0) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 __all__ = ["linrec_first_order", "iir_state_space", "iir_apply",
-           "iir_apply_sharded", "cumsum_phase"]
+           "iir_apply_sharded", "cummax_blocked", "cumsum_phase"]
