@@ -30,6 +30,29 @@ def _affine_combine(c1, c2):
     return a1 * a2, a2 * u1 + u2
 
 
+def _affine_scan_doubling(a, u):
+    """Inclusive affine scan along the last axis by Hillis-Steele doubling.
+
+    Used instead of lax.associative_scan when the decay coefficients are
+    DATA (not a splat constant): the odd/even-recursion lowering of
+    associative_scan with two genuine tensor operands hits pathological
+    compile times on the TPU compiler (measured: minutes at [16k, 256]
+    where the constant-coefficient case takes 2 s); this is ~log2(B)
+    shifted fused-elementwise passes with trivially linear compile cost.
+    """
+    n = a.shape[-1]
+    d = 1
+    while d < n:
+        a_prev = jnp.concatenate(
+            [jnp.ones_like(a[..., :d]), a[..., :-d]], axis=-1)
+        u_prev = jnp.concatenate(
+            [jnp.zeros_like(u[..., :d]), u[..., :-d]], axis=-1)
+        u = a * u_prev + u
+        a = a_prev * a
+        d *= 2
+    return a, u
+
+
 def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     """Solve y[n] = a*y[n-1] + u[n] for all n in parallel.
 
@@ -42,12 +65,16 @@ def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     Works for array-valued ``a`` too (data-dependent decay: the AGC gate,
     clock-recovery hysteresis); only small/ragged chunks take the flat scan.
     """
+    a_is_array = hasattr(a, "shape") and np.ndim(a) > 0
     n = u.shape[-1]
     B = 256
     if n < 4 * B or n % B != 0:
         a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
-        acum, ucum = lax.associative_scan(_affine_combine, (a_arr, u),
-                                          axis=-1)
+        if a_is_array and n >= 64:
+            acum, ucum = _affine_scan_doubling(a_arr, u)
+        else:
+            acum, ucum = lax.associative_scan(_affine_combine, (a_arr, u),
+                                              axis=-1)
         y0 = jnp.asarray(y0, dtype=u.dtype)
         return acum * y0[..., None] + ucum
 
@@ -56,11 +83,17 @@ def linrec_first_order(u: jnp.ndarray, a, y0) -> jnp.ndarray:
     ub = u.reshape(lead + (nb, B))
     ab = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype),
                           u.shape).reshape(lead + (nb, B))
-    acum, ucum = lax.associative_scan(_affine_combine, (ab, ub), axis=-1)
+    if a_is_array:
+        acum, ucum = _affine_scan_doubling(ab, ub)
+    else:
+        acum, ucum = lax.associative_scan(_affine_combine, (ab, ub), axis=-1)
     # block summaries -> exclusive carry per block
     sa = acum[..., -1]
     su = ucum[..., -1]
-    ca, cu = lax.associative_scan(_affine_combine, (sa, su), axis=-1)
+    if a_is_array:
+        ca, cu = _affine_scan_doubling(sa, su)
+    else:
+        ca, cu = lax.associative_scan(_affine_combine, (sa, su), axis=-1)
     y0 = jnp.asarray(y0, dtype=u.dtype)
     carry_y = ca * y0[..., None] + cu               # y at each block's end
     carry_in = jnp.concatenate([y0[..., None], carry_y[..., :-1]], axis=-1)

@@ -104,16 +104,18 @@ def test_banked_device_source_graph():
     assert abs(np.max(y[0, 500:]) - 1.0) < 1e-2
 
 
-def test_mesh_rejects_midgraph_host_block(tmp_path):
+def test_mesh_runs_midgraph_host_block(tmp_path):
+    """Round 3: mid-graph host blocks run banked (one clone per channel)
+    as long as their outputs stay on the host side.  Host->device re-entry
+    remains rejected (tests/parallel/test_mesh_host.py)."""
     from luaradio_tpu import ThrottleBlock, NopSink
     n = 4096
     paths = _make_channels(tmp_path, n)
     bank = BankSource([IQFileSource(p, "f32le", 1e6) for p in paths])
     top = CompositeBlock()
-    top.connect(bank, ThrottleBlock(), NopSink())
+    top.connect(bank, ThrottleBlock(1e9), NopSink())
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("channel",))
-    with pytest.raises(NotImplementedError, match="host block"):
-        top.run(chunk_size=1024, mesh=mesh)
+    top.run(chunk_size=1024, mesh=mesh)
 
 
 def test_flagship_step_matches_block_chain():
