@@ -183,3 +183,62 @@ def test_random_source_shards_deterministically(tmp_path):
     # shards draw from folded subkeys: the 8 shard segments must differ
     seg = xa[:1 << 13].reshape(8, -1)
     assert not np.allclose(seg[0], seg[1])
+
+
+def test_combined_channel_time_mesh_equals_serial(tmp_path):
+    """Generic Runner on a ("channel", "time") mesh: a 2-channel bank with
+    each stream's time axis sharded 4-way must equal per-channel serial
+    runs (the generic form of the hand-fused parallel/wbfm.py banks)."""
+    from luaradio_tpu.blocks.sources.bank import BankSource
+
+    n = 1 << 14
+    chans = []
+    paths = []
+    for c in range(2):
+        z = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+             ).astype(np.complex64)
+        p = str(tmp_path / f"c{c}.iq")
+        z.view(np.float32).tofile(p)
+        chans.append(z)
+        paths.append(p)
+
+    def graph(src, sink):
+        top = lr.CompositeBlock()
+        top.connect(src,
+                    lr.FrequencyTranslatorBlock(-20e3),
+                    lr.LowpassFilterBlock(48, 60e3, use_fft=False),
+                    lr.FrequencyDiscriminatorBlock(1.25),
+                    lr.FMDeemphasisFilterBlock(75e-6),
+                    lr.DownsamplerBlock(4),
+                    sink)
+        return top
+
+    # serial per-channel references
+    refs = []
+    for c in range(2):
+        out = tmp_path / f"ref{c}.f32"
+        _run(graph(lr.IQFileSource(paths[c], "f32le", 256e3),
+                   lr.RealFileSink(str(out), "f32le")), chunk_size=1 << 13)
+        refs.append(np.fromfile(out, dtype=np.float32))
+
+    # banked + time-sharded in one mesh
+    class Collect(lr.SinkBlock):
+        def __init__(self):
+            super().__init__()
+            self.rows = []
+            from luaradio_tpu.core.block import Input
+            self.add_type_signature([Input("in", lambda t: True)], [])
+
+        def process(self, x):
+            self.rows.append(np.asarray(x))
+
+    sink = Collect()
+    src = BankSource([lr.IQFileSource(p, "f32le", 256e3) for p in paths])
+    top = graph(src, sink)
+    r = Runner(top, mode="fused", chunk_size=1 << 13,
+               mesh=_mesh((2, 4), ("channel", "time")), channels=2)
+    r.run()
+    got = np.concatenate(sink.rows, axis=-1)
+    assert got.shape == (2, refs[0].shape[0])
+    for c in range(2):
+        assert np.max(np.abs(got[c] - refs[c])) < 1e-5, c
