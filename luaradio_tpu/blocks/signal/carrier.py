@@ -359,6 +359,60 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
             off0 - np.float32(n) + m[..., -1] * p)
         return (s[..., -1], off_end), y
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        """Time-sharded form: the hysteresis recurrence distributes as an
+        affine prefix scan, the most-recent-crossing index as a
+        distributed cummax over GLOBAL sample indices, and the pulse-count
+        chain needs only a 1-sample neighbor halo."""
+        from luaradio_tpu.parallel.time import (cummax_sharded, left_halo,
+                                                linrec_first_order_sharded)
+        h0, off0 = state
+        thr = np.float32(self.threshold)
+        p = self._period
+        n_local = x.shape[-1]
+        d = lax.axis_size(axis_name)
+        sh = lax.axis_index(axis_name)
+        n_global = np.float32(n_local * d)
+
+        raw = jnp.where(x > thr, 1.0, jnp.where(x < thr, -1.0, 0.0)
+                        ).astype(jnp.float32)
+        hold = raw == 0.0
+        s = linrec_first_order_sharded(
+            raw, jnp.where(hold, 1.0, 0.0).astype(jnp.float32), h0,
+            axis_name)
+        s_halo = left_halo(s, 1, axis_name)[..., 0]
+        s_prev = jnp.concatenate(
+            [jnp.where(sh == 0, jnp.broadcast_to(h0, s[..., :1].shape),
+                       s_halo[..., None]), s[..., :-1]], axis=-1)
+        cross = (s != s_prev) & ~hold
+
+        # global sample indices on this shard
+        idx = (jnp.arange(n_local, dtype=jnp.float32)
+               + sh.astype(jnp.float32) * np.float32(n_local))
+        c = cummax_sharded(jnp.where(cross, idx, -1.0), axis_name)
+        has = c >= 0.0
+
+        k = idx - c + 1.0
+        m_cross = self._pulse_count(k, p / 2.0)
+        m_free = self._pulse_count(idx + 1.0, off0)
+        m = jnp.where(has, m_cross, m_free)
+        m_halo = left_halo(m, 1, axis_name)[..., 0]
+        m_prev = jnp.concatenate(
+            [jnp.where(sh == 0, jnp.zeros_like(m[..., :1]),
+                       m_halo[..., None]), m[..., :-1]], axis=-1)
+        m_prev = jnp.where(cross, 0.0, m_prev)
+        pulse = m > m_prev
+        y = jnp.where(pulse, 1.0, -1.0).astype(jnp.float32)
+
+        def glast(v):
+            return lax.all_gather(v[..., -1], axis_name)[-1]
+
+        off_end = jnp.where(
+            glast(has),
+            p / 2.0 - glast(k) + glast(m) * p,
+            off0 - n_global + glast(m) * p)
+        return (glast(s), off_end), y
+
 
 class BinaryPhaseCorrectorBlock(SignalBlock):
     """Rotate out the moving-average BPSK phase offset, estimated from every

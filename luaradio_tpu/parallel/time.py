@@ -88,17 +88,23 @@ def linrec_first_order_sharded(u: jnp.ndarray, a, y0, axis_name: str):
     (decay, offset) summaries.  Collective payload: 2 scalars per shard per
     leading element.
     """
-    from luaradio_tpu.ops.scan import linrec_first_order
+    from luaradio_tpu.ops.scan import _affine_scan_doubling
     n = u.shape[-1]
+    a_is_array = hasattr(a, "shape") and np.ndim(a) > 0
     a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=u.dtype), u.shape)
 
-    # local scan with zero initial state
+    # local scan with zero initial state (doubling form for data
+    # coefficients: the two-operand associative_scan lowering is a
+    # compile-time hazard on the TPU compiler — see ops/scan.py)
     def combine(c1, c2):
         a1, u1 = c1
         a2, u2 = c2
         return a1 * a2, a2 * u1 + u2
 
-    acum, ucum = lax.associative_scan(combine, (a_arr, u), axis=-1)
+    if a_is_array:
+        acum, ucum = _affine_scan_doubling(a_arr, u)
+    else:
+        acum, ucum = lax.associative_scan(combine, (a_arr, u), axis=-1)
 
     # per-shard summary: (prod a, final local y) -> all-gather over shards
     summ_a = acum[..., -1]
@@ -137,6 +143,20 @@ def pilot_recovery_sharded(x: jnp.ndarray, taps: jnp.ndarray, mult: int,
     return pilot_normalize_multiply(p, mult)
 
 
+def cummax_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Distributed cumulative max along a time-sharded axis (most-recent-
+    event indices, e.g. zero-crossing clock recovery)."""
+    from luaradio_tpu.ops.scan import cummax_blocked
+    local = cummax_blocked(x)
+    heads = lax.all_gather(local[..., -1], axis_name)        # [D, ...]
+    idx = lax.axis_index(axis_name)
+    d = heads.shape[0]
+    mask = (jnp.arange(d)[(...,) + (None,) * (heads.ndim - 1)] < idx)
+    prev = jnp.max(jnp.where(mask, heads,
+                             jnp.full_like(heads, -np.inf)), axis=0)
+    return jnp.maximum(local, prev[..., None])
+
+
 def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Distributed cumulative sum along a time-sharded axis (phase
     accumulators in FM modulators)."""
@@ -151,7 +171,8 @@ def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 __all__ = ["left_halo", "fir_sharded", "fir_fft_sharded", "pll_linear_sharded",
            "discriminator_sharded", "linrec_first_order_sharded",
-           "cumsum_sharded", "delay_sharded", "pilot_recovery_sharded"]
+           "cummax_sharded", "cumsum_sharded", "delay_sharded",
+           "pilot_recovery_sharded"]
 
 
 def pll_linear_sharded(x: jnp.ndarray, state, alpha, beta, fmin, fmax,

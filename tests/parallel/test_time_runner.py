@@ -242,3 +242,30 @@ def test_combined_channel_time_mesh_equals_serial(tmp_path):
     assert got.shape == (2, refs[0].shape[0])
     for c in range(2):
         assert np.max(np.abs(got[c] - refs[c])) < 1e-5, c
+
+
+def test_zero_crossing_clock_recovery_time_sharded(tmp_path):
+    """ZCCR under ("time",) sharding: hysteresis prefix scan + distributed
+    cummax + neighbor halos must reproduce the serial stream exactly."""
+    rate, baud = 16.0, 1.0
+    bits = RNG.integers(0, 2, 2048)
+    x = (np.repeat(bits * 2.0 - 1.0, 16)
+         + 0.05 * RNG.standard_normal(2048 * 16)).astype(np.float32)
+    raw = str(tmp_path / "x.f32")
+    x.tofile(raw)
+
+    def graph(out_path):
+        top = lr.CompositeBlock()
+        top.connect(lr.RealFileSource(raw, "f32le", rate),
+                    lr.ZeroCrossingClockRecoveryBlock(baud),
+                    lr.RealFileSink(str(out_path), "f32le"))
+        return top
+
+    a = tmp_path / "serial.f32"
+    _run(graph(a), chunk_size=1 << 13)
+    b = tmp_path / "mesh.f32"
+    _run(graph(b), mesh=_mesh((8,), ("time",)), chunk_size=1 << 13)
+    xa = np.fromfile(a, dtype=np.float32)
+    xb = np.fromfile(b, dtype=np.float32)
+    assert xa.shape == xb.shape
+    assert np.array_equal(xa, xb)
