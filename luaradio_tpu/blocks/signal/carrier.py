@@ -453,6 +453,39 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
         y = x * jnp.exp(-1j * ma)
         return seq[..., -num:], y.astype(jnp.complex64)
 
+    def process_sharded(self, state, x, *, axis_name: str):
+        """Time-sharded form: the moving-average window over sample-point
+        phases becomes a distributed cumulative sum minus its num-point
+        delayed self; ma[j] = (CS[j+num+1] - CS[j+1]) / num over the
+        virtual sequence state ++ phis, with the carried-state prefix
+        entering shard 0 as the delay halo."""
+        from luaradio_tpu.parallel.time import cumsum_sharded, delay_sharded
+        interval = self.sample_interval
+        num = self.num_samples
+        n = x.shape[-1]
+        pts = x[..., ::interval]
+        if num > pts.shape[-1]:
+            raise NotImplementedError(
+                f"{self.name}: averaging window ({num} points) exceeds the "
+                f"per-shard sample points ({pts.shape[-1]}); increase "
+                f"chunk_size")
+        phi = jnp.angle(pts)
+        half_pi = np.float32(np.pi / 2)
+        pi = np.float32(np.pi)
+        phi = jnp.where(phi < -half_pi, phi + pi, phi)
+        phi = jnp.where(phi > half_pi, phi - pi, phi)
+
+        gcs = cumsum_sharded(phi, axis_name)           # global inclusive
+        st_cs = jnp.cumsum(state, axis=-1)             # carried prefix
+        s_total = st_cs[..., -1]
+        carry = st_cs - s_total[..., None]             # CS[j+1] - S_total
+        delayed = delay_sharded(gcs, num, axis_name, carry=carry)
+        ma_pts = (gcs - delayed) / np.float32(num)
+        ma = jnp.repeat(ma_pts, interval, axis=-1)[..., :n]
+        y = x * jnp.exp(-1j * ma)
+        new_state = lax.all_gather(phi[..., -num:], axis_name)[-1]
+        return new_state, y.astype(jnp.complex64)
+
 
 __all__ = [
     "PLLBlock", "PilotRecoveryBlock", "AGCBlock", "PowerSquelchBlock",

@@ -52,6 +52,27 @@ class SamplerBlock(SignalBlock):
         emit = (clock > 0) & (s_prev < 0)
         return s[..., -1], (data, emit)
 
+    def process_sharded(self, state, data, clock, *, axis_name: str):
+        # hysteresis = distributed affine prefix scan; the previous clock
+        # state is a 1-sample neighbor halo; (values, mask) pairs shard on
+        # the time axis like any other boundary array
+        from jax import lax
+        from luaradio_tpu.parallel.time import (left_halo,
+                                                linrec_first_order_sharded)
+        raw = jnp.where(clock > 0, 1.0, jnp.where(clock < 0, -1.0, 0.0)
+                        ).astype(jnp.float32)
+        hold = raw == 0.0
+        s = linrec_first_order_sharded(
+            raw, jnp.where(hold, 1.0, 0.0).astype(jnp.float32), state,
+            axis_name)
+        idx = lax.axis_index(axis_name)
+        s_halo = left_halo(s, 1, axis_name)[..., 0]
+        s_prev = jnp.concatenate(
+            [jnp.where(idx == 0, jnp.broadcast_to(state, s[..., :1].shape),
+                       s_halo[..., None]), s[..., :-1]], axis=-1)
+        emit = (clock > 0) & (s_prev < 0)
+        return lax.all_gather(s[..., -1], axis_name)[-1], (data, emit)
+
 
 class SlicerBlock(SignalBlock):
     """Float32 -> Bit by threshold (reference: slicer.lua).  Dual-domain."""

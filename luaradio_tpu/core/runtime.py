@@ -230,8 +230,13 @@ class Segment:
             state_specs = jax.tree.map(lambda l: P(chan) if chan else P(),
                                        self.states)
             ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys}
-            out_val_specs = {k: vspec(2 if chan else 1)
-                             for k in self.out_keys}
+            # masked producers emit (values, mask) pairs: both shard on time
+            masked_keys = {f"{bid[id(b)]}.{oi}" for b in blocks
+                           if getattr(b, "masked_output", False)
+                           for oi in range(len(b.outputs))}
+            r = 2 if chan else 1
+            out_val_specs = {k: ((vspec(r), vspec(r)) if k in masked_keys
+                                 else vspec(r)) for k in self.out_keys}
             kw = {}
             params = inspect.signature(shard_map).parameters
             if "check_rep" in params:

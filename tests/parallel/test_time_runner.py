@@ -269,3 +269,84 @@ def test_zero_crossing_clock_recovery_time_sharded(tmp_path):
     xb = np.fromfile(b, dtype=np.float32)
     assert xa.shape == xb.shape
     assert np.array_equal(xa, xb)
+
+
+def test_sampler_masked_output_time_sharded(tmp_path):
+    """SamplerBlock (masked device output) under ("time",) sharding: the
+    clock-recovery + sampler bit path must emit the same compacted samples
+    as the serial run — this is the RDS bit chain's device tail."""
+    rate, baud = 16.0, 1.0
+    bits = RNG.integers(0, 2, 1024)
+    data = np.repeat(bits * 2.0 - 1.0, 16).astype(np.float32)
+    data += 0.01 * RNG.standard_normal(data.shape[0]).astype(np.float32)
+    raw = str(tmp_path / "x.f32")
+    data.tofile(raw)
+
+    def graph(sink):
+        top = lr.CompositeBlock()
+        src = lr.RealFileSource(raw, "f32le", rate)
+        zccr = lr.ZeroCrossingClockRecoveryBlock(baud)
+        sampler = lr.SamplerBlock()
+        top.connect(src, zccr)
+        top.connect(src, "out", sampler, "data")
+        top.connect(zccr, "out", sampler, "clock")
+        top.connect(sampler, lr.SlicerBlock(), sink)
+        return top
+
+    class Collect(lr.SinkBlock):
+        def __init__(self):
+            super().__init__()
+            self.rows = []
+            from luaradio_tpu.core.block import Input
+            self.add_type_signature([Input("in", lambda t: True)], [])
+
+        def process(self, x):
+            self.rows.append(np.asarray(x))
+
+    a, b = Collect(), Collect()
+    rA = Runner(graph(a), mode="fused", chunk_size=1 << 12)
+    rA.run()
+    rB = Runner(graph(b), mode="fused", chunk_size=1 << 12,
+                mesh=_mesh((8,), ("time",)))
+    rB.run()
+    xa = np.concatenate([r.reshape(-1) for r in a.rows])
+    xb = np.concatenate([r.reshape(-1) for r in b.rows])
+    assert xa.shape == xb.shape
+    assert np.array_equal(xa, xb)
+    assert xa.size >= 1000  # one sampled bit per symbol
+
+
+def test_full_rds_receiver_time_sharded(tmp_path):
+    """Capstone: the ENTIRE generic RDSReceiver — FM discriminator,
+    Hilbert, pilot recovery, coherent demod, RRC, binary phase corrector,
+    clock recovery, masked sampler, slicer, host Manchester/differential/
+    framer/decoder — runs a SINGLE stream time-sharded over 4 devices and
+    decodes the same RDS groups as the serial run."""
+    import luaradio_tpu as radio
+    from tests.core.test_receivers import ArraySource, CollectSink
+    from tests.parallel.test_rds_bank import make_rds_fm
+    from tests.blocks.test_protocol import rds_encode_group
+
+    rate = 228000.0
+    rng = np.random.default_rng(53)
+    groups = [tuple(int(v) for v in rng.integers(0, 1 << 16, 4))
+              for _ in range(6)]
+    n = 1 << 18
+    iq = make_rds_fm(n, groups)
+
+    def decode(mesh, chunk):
+        top = lr.CompositeBlock()
+        sink = CollectSink()
+        top.connect(ArraySource(iq, rate), radio.RDSReceiver(pilot="vector"),
+                    sink)
+        r = Runner(top, mode="fused", chunk_size=chunk, mesh=mesh)
+        r.run()
+        return {tuple(p.data["frame"]) for p in sink.items
+                if p.data.get("type") == "raw"}
+
+    serial = decode(None, 1 << 21)
+    sharded = decode(_mesh((4,), ("time",)), 1 << 21)
+    recovered_serial = [g for g in groups if g in serial]
+    recovered_sharded = [g for g in groups if g in sharded]
+    assert len(recovered_serial) >= 3
+    assert recovered_sharded == recovered_serial, (serial, sharded)
