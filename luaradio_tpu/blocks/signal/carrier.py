@@ -44,12 +44,18 @@ class PLLBlock(SignalBlock):
     """
 
     def __init__(self, loop_bandwidth: float, frequency_min: float,
-                 frequency_max: float, multiplier: float = 1.0):
+                 frequency_max: float, multiplier: float = 1.0,
+                 exact: bool = False):
+        """``exact=True`` disables the overlap-and-discard acquisition tier
+        (whose accepted outputs are approximate within fixed warm-up
+        tolerances — see docs/parity-deviations.md): non-locked chunks then
+        always run the bit-exact sequential kernel."""
         super().__init__()
         self.loop_bandwidth = loop_bandwidth
         self.frequency_min = frequency_min
         self.frequency_max = frequency_max
         self.multiplier = multiplier
+        self.exact = bool(exact)
         self.add_type_signature(
             [Input("in", ComplexFloat32)],
             [Output("out", ComplexFloat32), Output("error", Float32)])
@@ -99,7 +105,8 @@ class PLLBlock(SignalBlock):
                 and self.multiplier >= 1:
             from luaradio_tpu.ops.pll_linear import pll_hybrid
             return pll_hybrid(x, state, alpha, beta, fmin, fmax,
-                              int(self.multiplier), sequential)
+                              int(self.multiplier), sequential,
+                              allow_overlap=not self.exact)
         return sequential(state, x)
 
     def _scan(self, state, x):
@@ -381,8 +388,12 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
             raw, jnp.where(hold, 1.0, 0.0).astype(jnp.float32), h0,
             axis_name)
         s_halo = left_halo(s, 1, axis_name)[..., 0]
+        # [..., None] forms keep banked leading axes broadcastable: under a
+        # combined (channel, time) mesh the state is [C] while s is [C, T]
         s_prev = jnp.concatenate(
-            [jnp.where(sh == 0, jnp.broadcast_to(h0, s[..., :1].shape),
+            [jnp.where(sh == 0,
+                       jnp.broadcast_to(jnp.asarray(h0)[..., None],
+                                        s[..., :1].shape),
                        s_halo[..., None]), s[..., :-1]], axis=-1)
         cross = (s != s_prev) & ~hold
 
@@ -394,7 +405,9 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
 
         k = idx - c + 1.0
         m_cross = self._pulse_count(k, p / 2.0)
-        m_free = self._pulse_count(idx + 1.0, off0)
+        m_free = self._pulse_count(
+            idx + 1.0, jnp.asarray(off0, jnp.float32)[..., None])
+        m_free = jnp.broadcast_to(m_free, m_cross.shape)
         m = jnp.where(has, m_cross, m_free)
         m_halo = left_halo(m, 1, axis_name)[..., 0]
         m_prev = jnp.concatenate(

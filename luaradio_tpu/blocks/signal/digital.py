@@ -67,8 +67,12 @@ class SamplerBlock(SignalBlock):
             axis_name)
         idx = lax.axis_index(axis_name)
         s_halo = left_halo(s, 1, axis_name)[..., 0]
+        # state may carry banked leading axes ([C] under a channel+time
+        # mesh): [..., None] keeps it broadcastable against s[..., :1]
         s_prev = jnp.concatenate(
-            [jnp.where(idx == 0, jnp.broadcast_to(state, s[..., :1].shape),
+            [jnp.where(idx == 0,
+                       jnp.broadcast_to(jnp.asarray(state)[..., None],
+                                        s[..., :1].shape),
                        s_halo[..., None]), s[..., :-1]], axis=-1)
         emit = (clock > 0) & (s_prev < 0)
         return lax.all_gather(s[..., -1], axis_name)[-1], (data, emit)

@@ -129,6 +129,30 @@ class _FileSourceBase(HostSourceBlock):
         file is empty/unseekable.  Overridden per concrete source."""
         return None
 
+    def _file_nbytes(self):
+        """File size in bytes without reading it, or None when unseekable."""
+        if self._mm is not None:
+            return len(self._mm)
+        try:
+            import os
+            return os.fstat(self.file.fileno()).st_size
+        except (OSError, ValueError, AttributeError):
+            try:
+                pos = self.file.tell()
+                self.file.seek(0, 2)
+                size = self.file.tell()
+                self.file.seek(pos)
+                return size
+            except (OSError, ValueError):
+                return None
+
+    def _payload_nbytes_bound(self, file_bytes: int) -> int:
+        """Upper bound on the decoded payload size for ``file_bytes`` of
+        wire data (worst case: u8 wire items expanding to float32 = 4x).
+        Lets resident_setup reject oversized files from the size alone,
+        without decoding them into host memory first."""
+        return file_bytes * 4
+
     def _resident_budget(self) -> int:
         import os
         try:
@@ -144,6 +168,12 @@ class _FileSourceBase(HostSourceBlock):
         if self.resident is False or not self.repeat_on_eof:
             return False
         self.initialize()
+        # Size gate BEFORE decoding: a multi-GB looping file must not be
+        # decoded into host memory just to be rejected against the budget.
+        size = self._file_nbytes()
+        if size is not None and \
+                self._payload_nbytes_bound(size) > self._resident_budget():
+            return False
         decoded = self._decode_all()
         if decoded is None:
             return False
@@ -196,6 +226,13 @@ class _WireFileSource(_FileSourceBase):
     ``_wire_factor`` is wire items per sample (2 for interleaved I/Q)."""
 
     _wire_factor = 1
+
+    def _payload_nbytes_bound(self, file_bytes: int) -> int:
+        # wire-ingest formats keep the wire dtype on device (same bytes);
+        # host-decoded formats expand each wire item to a float32
+        if self.format.name in _DEVICE_CONVERT_FORMATS:
+            return file_bytes
+        return (file_bytes // self.format.itemsize) * 4
 
     def device_ingest(self):
         if self.format.name in _DEVICE_CONVERT_FORMATS:
@@ -286,6 +323,9 @@ class RawFileSource(_FileSourceBase):
         super().__init__(file, rate, repeat_on_eof, resident)
         self.data_type = data_type
         self.add_type_signature([], [Output("out", data_type)])
+
+    def _payload_nbytes_bound(self, file_bytes: int) -> int:
+        return file_bytes  # payload is the file's dtype, viewed in place
 
     def read(self, n: int):
         item = self.data_type.dtype.itemsize

@@ -332,15 +332,23 @@ class _Prefetcher:
     ``read_fn`` is Runner._read_sources; ``put_fn(key, arr)`` optionally
     moves a payload to the device (returns the value to enqueue).  Errors
     raised by either propagate out of :meth:`get` on the pump thread.
+
+    NOTE: the reader runs up to ``depth`` chunks ahead of consumption, so
+    source state (file positions, ring drains, throttle pacing) advances
+    ahead of the consumed stream; ``budget`` (set from Runner.run's
+    max_chunks) bounds the read-ahead so a bounded run never reads source
+    chunks it will not consume.
     """
 
-    def __init__(self, read_fn, put_fn, depth: int = 3):
+    def __init__(self, read_fn, put_fn, depth: int = 3,
+                 budget: int | None = None):
         import queue
 
         self._read_fn = read_fn
         self._put_fn = put_fn
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._budget = budget
         self.error: BaseException | None = None
         self._thread = threading.Thread(target=self._main, daemon=True)
         self._thread.start()
@@ -349,8 +357,13 @@ class _Prefetcher:
         import queue
 
         try:
+            n_read = 0
             while not self._stop.is_set():
-                chunk = self._read_fn()
+                if self._budget is not None and n_read >= self._budget:
+                    chunk = None
+                else:
+                    chunk = self._read_fn()
+                    n_read += 1
                 if chunk is not None:
                     values, nvalid, eof = chunk
                     values = {k: self._put_fn(k, v) for k, v in values.items()}
@@ -442,6 +455,7 @@ class Runner:
         # have no static banked shape).  Pure time sharding needs none of
         # this: boundary arrays stay logically global.
         self._bank_clones: dict[int, list[Block]] = {}
+        self._chan_banked = chan_banked
         if chan_banked:
             import copy
             for b in g.order:
@@ -519,6 +533,7 @@ class Runner:
 
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._chunk_budget: int | None = None
         self._prefetcher: _Prefetcher | None = None
         self._stripe_pool = None
         self._stripe_concat = None
@@ -574,7 +589,7 @@ class Runner:
                 jax.device_put(np.zeros(1, np.float32))))
             self._prefetcher = _Prefetcher(
                 lambda: self._traced("sources.read", self._read_sources),
-                self._prefetch_put)
+                self._prefetch_put, budget=self._chunk_budget)
         return self._traced("sources.wait", self._prefetcher.get)
 
     # ------------------------------------------------------------------
@@ -711,10 +726,17 @@ class Runner:
     def _run_hosts(self, host_blocks, values, nvalid):
         g = self.graph
         for b in host_blocks:
+            # Banked inputs go through the per-channel path; a banked MASKED
+            # device output must too (compacting [C, T] with a [C, T] mask
+            # in one arr[m] would concatenate the channels' samples).
             if id(b) in self._bank_clones or any(
                     isinstance(values.get(
                         f"{self.bid[id(g.edges[PortRef(b, i)].block)]}"
                         f".{g.edges[PortRef(b, i)].index}"), _Banked)
+                    or (self._chan_banked
+                        and g.edges[PortRef(b, i)].block.domain == "device"
+                        and getattr(g.edges[PortRef(b, i)].block,
+                                    "masked_output", False))
                     for i in range(len(b.inputs))):
                 self._run_host_banked(b, values, nvalid)
                 continue
@@ -790,6 +812,7 @@ class Runner:
         import jax
 
         self.running = True
+        self._chunk_budget = max_chunks
         try:
             if self.pipelined and self.mode == "fused":
                 self._run_pipelined(max_chunks)

@@ -299,7 +299,8 @@ def pll_newton_scan(x, state, alpha, beta, fmin, fmax, mult: int, sequential,
     return carry, (outs.reshape(n), errs.reshape(n))
 
 
-def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential):
+def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential,
+               allow_overlap: bool = True):
     """Three-tier PLL dispatch:
 
     1. full-chunk LINEAR solution when the loop is locked (the steady state
@@ -312,6 +313,11 @@ def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential):
 
     ``sequential(state, x) -> (state', (out, err))`` is the exact kernel
     (Pallas on TPU, lax.scan on CPU).  Returns (state', (out, err)).
+
+    ``allow_overlap=False`` disables tier 2 so every non-locked chunk runs
+    the bit-exact sequential kernel (the overlap tier's accepted outputs
+    are approximate within its fixed warm-up tolerances — callers needing
+    exactness, e.g. PLLBlock(exact=True), force the sequential fallback).
     """
     from luaradio_tpu.ops.pll_overlap import plan_overlap, pll_overlap_discard
 
@@ -326,7 +332,7 @@ def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential):
         return (tuple(jnp.asarray(s, jnp.float32) for s in st),
                 (out.astype(jnp.complex64), err.astype(jnp.float32)))
 
-    plan = plan_overlap(x.shape[-1], float(alpha))
+    plan = plan_overlap(x.shape[-1], float(alpha)) if allow_overlap else None
     if plan is None:
         return lax.cond(valid, _linear, _seq, operand=None)
     lseg, warm = plan

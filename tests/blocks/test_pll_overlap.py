@@ -124,3 +124,29 @@ def test_newton_segment_exact_on_acquisition():
     ok, _, _, _ = pll_newton_segment(
         jnp.asarray(noise), st, alpha, beta, fmin, fmax, 1)
     assert not bool(ok)
+
+
+def test_pll_exact_option_forces_sequential():
+    """PLLBlock(exact=True) must be bit-identical to the sequential kernel
+    on a weak-carrier acquisition chunk where the default hybrid would use
+    the approximate overlap-and-discard tier."""
+    n = 8192
+    t = np.arange(n)
+    x = (0.4 * np.exp(1j * (2 * np.pi * 0.208 * t + 1.1))
+         + 0.4 * (RNG.standard_normal(n) + 1j * RNG.standard_normal(n))
+         ).astype(np.complex64)
+
+    def run(**kw):
+        blk = prepare_block(PLLBlock(1e3, 200e3, 220e3, **kw),
+                            [ComplexFloat32], rate=1e6)
+        return run_block(blk, [x])
+
+    out_exact, err_exact = run(exact=True)
+    # the exact path == the pure scan kernel (float32 sequential oracle)
+    blk = prepare_block(PLLBlock(1e3, 200e3, 220e3), [ComplexFloat32],
+                        rate=1e6)
+    _, (out_seq, err_seq) = blk._scan(
+        (jnp.float32(0), jnp.float32(0),
+         jnp.float32((blk._freq_min + blk._freq_max) / 2)), jnp.asarray(x))
+    assert np.array_equal(np.asarray(out_exact), np.asarray(out_seq))
+    assert np.array_equal(np.asarray(err_exact), np.asarray(err_seq))

@@ -182,3 +182,46 @@ def test_eager_mode_bypasses_prefetch_and_wire(tmp_path):
     runner.run()
     got = np.fromfile(out, dtype=np.complex64)
     assert np.max(np.abs(got - expect)) < 1e-6
+
+
+def test_resident_rejects_oversized_file_by_size_alone(tmp_path, monkeypatch):
+    """A looping file bigger than the resident budget must be rejected from
+    its SIZE, without decoding the whole file into host memory first."""
+    n = 4096
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+         ).astype(np.complex64)
+    path = str(tmp_path / "big.iq")
+    _write_iq(path, x, "f32le")
+    monkeypatch.setenv("LUARADIO_TPU_RESIDENT_BUDGET", str(1024))
+    src = lr.IQFileSource(path, "f32le", 1e6, repeat_on_eof=True)
+
+    def boom():
+        raise AssertionError("_decode_all called for an oversized file")
+    src._decode_all = boom
+    assert src.resident_setup(1024) is False
+    src.cleanup()
+
+
+def test_prefetcher_bounded_by_max_chunks(tmp_path):
+    """Runner.run(max_chunks=N) must not read source chunks it will never
+    consume (the read-ahead thread is bounded by the chunk budget)."""
+    from luaradio_tpu.core.block import HostSourceBlock, Output
+    from luaradio_tpu.types import Float32
+
+    class CountingSource(HostSourceBlock):
+        def __init__(self):
+            super().__init__()
+            self.rate = 1e6
+            self.reads = 0
+            self.add_type_signature([], [Output("out", Float32)])
+
+        def read(self, n):
+            self.reads += 1
+            return RNG.standard_normal(n).astype(np.float32)
+
+    src = CountingSource()
+    top = lr.CompositeBlock()
+    top.connect(src, lr.MultiplyConstantBlock(2.0), lr.NopSink())
+    r = Runner(top, mode="fused", chunk_size=1024)
+    r.run(max_chunks=3)
+    assert src.reads == 3

@@ -350,3 +350,64 @@ def test_full_rds_receiver_time_sharded(tmp_path):
     recovered_sharded = [g for g in groups if g in sharded]
     assert len(recovered_serial) >= 3
     assert recovered_sharded == recovered_serial, (serial, sharded)
+
+
+def test_rds_tail_blocks_channel_time_mesh(tmp_path):
+    """ZCCR + masked Sampler + Slicer (the RDS device bit tail) under a
+    combined ("channel", "time") mesh: banked [C] state must broadcast
+    against [C, T] streams (the blocks' [..., None] forms), and the banked
+    masked outputs must compact per channel identically to serial runs."""
+    from luaradio_tpu.blocks.sources.bank import BankSource
+
+    rate, baud = 16.0, 1.0
+    paths = []
+    for c in range(2):
+        bits = RNG.integers(0, 2, 768)
+        data = np.repeat(bits * 2.0 - 1.0, 16).astype(np.float32)
+        data += 0.01 * RNG.standard_normal(data.shape[0]).astype(np.float32)
+        p = str(tmp_path / f"c{c}.f32")
+        data.tofile(p)
+        paths.append(p)
+
+    def graph(src, sink):
+        top = lr.CompositeBlock()
+        zccr = lr.ZeroCrossingClockRecoveryBlock(baud)
+        sampler = lr.SamplerBlock()
+        top.connect(src, zccr)
+        top.connect(src, "out", sampler, "data")
+        top.connect(zccr, "out", sampler, "clock")
+        top.connect(sampler, lr.SlicerBlock(), sink)
+        return top
+
+    class Collect(lr.SinkBlock):
+        def __init__(self):
+            super().__init__()
+            self.rows = []
+            from luaradio_tpu.core.block import Input
+            self.add_type_signature([Input("in", lambda t: True)], [])
+
+        def process(self, x):
+            self.rows.append(x)
+
+    # serial per-channel references
+    refs = []
+    for c in range(2):
+        sink = Collect()
+        r = Runner(graph(lr.RealFileSource(paths[c], "f32le", rate), sink),
+                   mode="fused", chunk_size=1 << 12)
+        r.run()
+        refs.append(np.concatenate([np.asarray(x).reshape(-1)
+                                    for x in sink.rows]))
+
+    sink = Collect()
+    src = BankSource([lr.RealFileSource(p, "f32le", rate) for p in paths])
+    r = Runner(graph(src, sink), mode="fused", chunk_size=1 << 12,
+               mesh=_mesh((2, 4), ("channel", "time")), channels=2)
+    r.run()
+    # the banked masked stream reaches the (uncloned) sink as one
+    # per-channel process() call per chunk: rows alternate c0, c1, ...
+    for c in range(2):
+        got = np.concatenate([np.asarray(x).reshape(-1)
+                              for x in sink.rows[c::2]])
+        assert got.size >= 700, c
+        assert np.array_equal(got, refs[c]), c
