@@ -110,10 +110,20 @@ def run(max_devices: int | None = None, emit=print,
     return summary
 
 
-def run_generic(max_devices: int | None = None, emit=print):
+def run_generic(max_devices: int | None = None, emit=print,
+                chunk_size: int = 1 << 20):
     """Same structural-overhead measurement for the GENERIC time-sharded
     Runner (round 3): an ordinary-blocks WBFM mono graph on a ("time",)
-    mesh vs the serial runner, fixed total work."""
+    mesh vs the serial runner, fixed total work.
+
+    chunk_size is the production streaming chunk (the r3 receiver benches
+    use 1<<21).  It must give each shard non-trivial work: on a VIRTUAL
+    mesh every per-shard program launch is a host thread on the same few
+    cores, so microscopic shards (e.g. 8 KiB at 1<<16 / 8) measure thread
+    scheduling, not sharding structure — a zero-collective elementwise
+    graph shows the same inflation (round-4 ablation: +58% at 1<<16 vs
+    +2% at 1<<20).  Real chips run one shard per device and do not pay
+    this emulation cost."""
     import jax
     from jax.sharding import Mesh
 
@@ -134,7 +144,7 @@ def run_generic(max_devices: int | None = None, emit=print):
         return top
 
     def time_run(mesh):
-        r = Runner(build(), mode="fused", chunk_size=1 << 16, mesh=mesh)
+        r = Runner(build(), mode="fused", chunk_size=chunk_size, mesh=mesh)
         segs = [s for s, _ in r.stage_plan if s is not None]
         r._pump_once()
         for s in segs:

@@ -250,18 +250,21 @@ class AGCBlock(SignalBlock):
         p0, g0 = state
         ap, ag = self._power_alpha, self._gain_alpha
         power_in = jnp.abs(x).astype(jnp.float32) ** 2
-        p = linrec_first_order_sharded(ap * power_in, np.float32(1.0) - ap,
-                                       p0, axis_name)
+        p, p_final = linrec_first_order_sharded(
+            ap * power_in, np.float32(1.0) - ap, p0, axis_name,
+            with_final=True)
         active = p >= self._threshold
         a = jnp.where(active, np.float32(1.0) - ag, np.float32(1.0))
         u = jnp.where(active,
                       ag * self._target / jnp.maximum(p, np.float32(1e-30)),
                       np.float32(0.0))
-        g = linrec_first_order_sharded(u, a, g0, axis_name)
+        g, g_final = linrec_first_order_sharded(u, a, g0, axis_name,
+                                                with_final=True)
         gain = jnp.sqrt(g).astype(x.real.dtype)
         y = jnp.where(active, gain * x, x)
-        last = lambda v: lax.all_gather(v[..., -1], axis_name)[-1]
-        return (last(p), last(g)), y
+        # final states from the scans' own gathered summaries (replicated;
+        # they are re-read as y0 on every shard next chunk)
+        return (p_final, g_final), y
 
 
 class PowerSquelchBlock(SignalBlock):
@@ -293,10 +296,11 @@ class PowerSquelchBlock(SignalBlock):
         from luaradio_tpu.parallel.time import linrec_first_order_sharded
         a = self._alpha
         power_in = jnp.abs(x).astype(jnp.float32) ** 2
-        p = linrec_first_order_sharded(a * power_in, np.float32(1.0) - a,
-                                       state, axis_name)
+        p, p_final = linrec_first_order_sharded(
+            a * power_in, np.float32(1.0) - a, state, axis_name,
+            with_final=True)
         y = jnp.where(p >= self._threshold, x, jnp.zeros_like(x))
-        return lax.all_gather(p[..., -1], axis_name)[-1], y
+        return p_final, y
 
 
 class ZeroCrossingClockRecoveryBlock(SignalBlock):
@@ -384,9 +388,11 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
         raw = jnp.where(x > thr, 1.0, jnp.where(x < thr, -1.0, 0.0)
                         ).astype(jnp.float32)
         hold = raw == 0.0
-        s = linrec_first_order_sharded(
+        # global final hysteresis state comes from the scan's own gathered
+        # summaries (replicated, zero extra collectives)
+        s, s_final = linrec_first_order_sharded(
             raw, jnp.where(hold, 1.0, 0.0).astype(jnp.float32), h0,
-            axis_name)
+            axis_name, with_final=True)
         s_halo = left_halo(s, 1, axis_name)[..., 0]
         # [..., None] forms keep banked leading axes broadcastable: under a
         # combined (channel, time) mesh the state is [C] while s is [C, T]
@@ -417,14 +423,18 @@ class ZeroCrossingClockRecoveryBlock(SignalBlock):
         pulse = m > m_prev
         y = jnp.where(pulse, 1.0, -1.0).astype(jnp.float32)
 
-        def glast(v):
-            return lax.all_gather(v[..., -1], axis_name)[-1]
-
+        # off_end is read on every shard next chunk (m_free), so it must be
+        # replicated — ONE batched all_gather of the three last-sample
+        # scalars (k, m, has) instead of one collective each
+        lasts = jnp.stack([k[..., -1], m[..., -1],
+                           has[..., -1].astype(jnp.float32)], axis=-1)
+        gl = lax.all_gather(lasts, axis_name)[-1]
+        k_l, m_l, has_l = gl[..., 0], gl[..., 1], gl[..., 2] > 0
         off_end = jnp.where(
-            glast(has),
-            p / 2.0 - glast(k) + glast(m) * p,
-            off0 - n_global + glast(m) * p)
-        return (glast(s), off_end), y
+            has_l,
+            p / 2.0 - k_l + m_l * p,
+            off0 - n_global + m_l * p)
+        return (s_final, off_end), y
 
 
 class BinaryPhaseCorrectorBlock(SignalBlock):
@@ -472,7 +482,8 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
         delayed self; ma[j] = (CS[j+num+1] - CS[j+1]) / num over the
         virtual sequence state ++ phis, with the carried-state prefix
         entering shard 0 as the delay halo."""
-        from luaradio_tpu.parallel.time import cumsum_sharded, delay_sharded
+        from luaradio_tpu.parallel.time import (cumsum_sharded, delay_sharded,
+                                                ring_halo)
         interval = self.sample_interval
         num = self.num_samples
         n = x.shape[-1]
@@ -496,7 +507,10 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
         ma_pts = (gcs - delayed) / np.float32(num)
         ma = jnp.repeat(ma_pts, interval, axis=-1)[..., :n]
         y = x * jnp.exp(-1j * ma)
-        new_state = lax.all_gather(phi[..., -num:], axis_name)[-1]
+        # the carried phi window is read on shard 0 only (the delay
+        # carry): a circular ppermute lands the global tail there —
+        # point-to-point instead of an all_gather of num*D phases
+        new_state = ring_halo(phi, num, axis_name)
         return new_state, y.astype(jnp.complex64)
 
 

@@ -62,9 +62,12 @@ class SamplerBlock(SignalBlock):
         raw = jnp.where(clock > 0, 1.0, jnp.where(clock < 0, -1.0, 0.0)
                         ).astype(jnp.float32)
         hold = raw == 0.0
-        s = linrec_first_order_sharded(
+        # the new state is the recurrence's global final value, computed
+        # from the prefix summaries the scan already gathered (replicated,
+        # zero extra collectives — it is re-read as y0 on every shard)
+        s, s_final = linrec_first_order_sharded(
             raw, jnp.where(hold, 1.0, 0.0).astype(jnp.float32), state,
-            axis_name)
+            axis_name, with_final=True)
         idx = lax.axis_index(axis_name)
         s_halo = left_halo(s, 1, axis_name)[..., 0]
         # state may carry banked leading axes ([C] under a channel+time
@@ -75,7 +78,7 @@ class SamplerBlock(SignalBlock):
                                         s[..., :1].shape),
                        s_halo[..., None]), s[..., :-1]], axis=-1)
         emit = (clock > 0) & (s_prev < 0)
-        return lax.all_gather(s[..., -1], axis_name)[-1], (data, emit)
+        return s_final, (data, emit)
 
 
 class SlicerBlock(SignalBlock):
@@ -128,12 +131,15 @@ class DifferentialDecoderBlock(SignalBlock):
         return y
 
     def process_sharded(self, state, x, *, axis_name: str):
+        # one circular halo: previous bit for interior shards, global tail
+        # (= next chunk's carry, read on shard 0 only) for shard 0
         from jax import lax
-        from luaradio_tpu.parallel.time import left_halo
+        from luaradio_tpu.parallel.time import ring_halo
         idx = lax.axis_index(axis_name)
-        prev = jnp.where(idx == 0, state, left_halo(x, 1, axis_name)[..., 0])
+        recv = ring_halo(x, 1, axis_name)[..., 0]
+        prev = jnp.where(idx == 0, state, recv)
         _, y = self.process(prev, x)
-        return lax.all_gather(x[..., -1], axis_name)[-1], y
+        return recv, y
 
 
 class ManchesterDecoderBlock(HostBlock):

@@ -79,14 +79,17 @@ class FrequencyDiscriminatorBlock(SignalBlock):
         return x[..., -1], y
 
     def process_sharded(self, state, x, *, axis_name: str):
-        # one-sample halo from the left neighbor (frequencydiscriminator.lua
-        # carries the same single sample across process() calls)
+        # one circular halo (frequencydiscriminator.lua carries the same
+        # single sample): interior shards use it as their previous sample,
+        # shard 0 receives the global tail = next chunk's carry, so no
+        # end-of-chunk all_gather is needed (state is read on shard 0 only)
         from jax import lax
-        from luaradio_tpu.parallel.time import left_halo
+        from luaradio_tpu.parallel.time import ring_halo
         idx = lax.axis_index(axis_name)
-        prev = jnp.where(idx == 0, state, left_halo(x, 1, axis_name)[..., 0])
+        recv = ring_halo(x, 1, axis_name)[..., 0]
+        prev = jnp.where(idx == 0, state, recv)
         _, y = self.process(prev, x)
-        return lax.all_gather(x[..., -1], axis_name)[-1], y
+        return recv, y
 
 
 class FrequencyModulatorBlock(SignalBlock):
@@ -108,13 +111,14 @@ class FrequencyModulatorBlock(SignalBlock):
         return carry, jnp.exp(1j * phi).astype(jnp.complex64)
 
     def process_sharded(self, state, x, *, axis_name: str):
-        # the phase accumulator is a distributed cumulative sum
-        from jax import lax
+        # the phase accumulator is a distributed cumulative sum; the carry
+        # comes from the same gathered totals (one collective, replicated)
         from luaradio_tpu.parallel.time import cumsum_sharded
         delta = np.float32(2 * np.pi * self.modulation_index)
         two_pi = np.float32(2 * np.pi)
-        phi = cumsum_sharded(x * delta, axis_name) + state[..., None]
-        carry = lax.all_gather(phi[..., -1], axis_name)[-1]
+        psum, total = cumsum_sharded(x * delta, axis_name, with_total=True)
+        phi = psum + state[..., None]
+        carry = state + total
         carry = carry - two_pi * jnp.round(carry / two_pi)
         return carry, jnp.exp(1j * phi).astype(jnp.complex64)
 

@@ -256,15 +256,29 @@ class SignalBlock(Block):
 
     def process_sharded(self, state, *xs, axis_name: str):
         """Run one chunk with the time (last) axis sharded over mesh axis
-        ``axis_name``; called inside shard_map.  State is replicated; the
-        returned state must be the global end-of-chunk state (identical on
-        every shard)."""
+        ``axis_name``; called inside shard_map.
+
+        State entering a chunk is the global carry and is READ ONLY ON
+        SHARD 0 by tail-state blocks (interior shards take their halo from
+        the left neighbor), so the state a block RETURNS need only be
+        correct on shard 0.  The default tail path exploits this: one
+        circular ppermute (parallel/time.py ring_halo) delivers both the
+        intra-chunk halos and — on shard 0 — the global input tail that is
+        the next chunk's carry.  Per-block collective cost: ONE ppermute,
+        no end-of-chunk all_gather.  (Between chunks each device keeps its
+        own copy of the nominally-replicated state output; shard 0's copy
+        is the true carry, and shard 0 is the only reader.)
+
+        Blocks whose state is read on every shard (distributed prefix
+        recurrences) must return a genuinely replicated state — the prefix
+        helpers' ``with_final`` forms provide it from the already-gathered
+        summaries at zero extra collective cost."""
         if self.time_local:
             return self.process(state, *xs)
         if self.tail_state and len(xs) == 1:
             import jax.numpy as jnp
             from jax import lax
-            from luaradio_tpu.parallel.time import left_halo
+            from luaradio_tpu.parallel.time import ring_halo
 
             x = xs[0]
             k = state.shape[-1]
@@ -272,11 +286,11 @@ class SignalBlock(Block):
                 raise NotImplementedError(
                     f"{self.name}: carried tail ({k}) exceeds the per-shard "
                     f"chunk ({x.shape[-1]}); increase chunk_size")
-            halo = left_halo(x.astype(state.dtype), k, axis_name)
+            recv = ring_halo(x.astype(state.dtype), k, axis_name)
             idx = lax.axis_index(axis_name)
-            local = jnp.where(idx == 0, state, halo)
-            new_local, y = self.process(local, x)
-            return lax.all_gather(new_local, axis_name)[-1], y
+            local = jnp.where(idx == 0, state, recv)
+            _, y = self.process(local, x)
+            return recv, y
         raise NotImplementedError(
             f"{self.name} does not support time-axis sharding; use channel "
             f"banking (mesh with a 'channel' axis) for this graph")

@@ -37,6 +37,19 @@ def left_halo(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     return halo
 
 
+def ring_halo(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """Circular left-neighbor tail: shard d receives shard (d-1) mod D's
+    last k samples.  ONE collective serves two purposes at once: shards
+    1..D-1 get their intra-chunk halo, while the value landing on shard 0
+    is the stream's global input tail — exactly the next chunk's carried
+    state.  Blocks whose state is a pure input tail therefore need no
+    end-of-chunk all_gather at all: they return what they received, and
+    only shard 0's copy (the true carry) is read next chunk."""
+    d = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    return lax.ppermute(x[..., -k:], axis_name, perm)
+
+
 def fir_sharded(x: jnp.ndarray, taps: jnp.ndarray, axis_name: str,
                 tail=None) -> jnp.ndarray:
     """Causal FIR over a time-sharded stream.  ``tail`` (the global carried
@@ -81,12 +94,18 @@ def discriminator_sharded(x: jnp.ndarray, gain: float,
     return jnp.arctan2(t.imag, t.real) * np.float32(1.0 / (2 * np.pi * gain))
 
 
-def linrec_first_order_sharded(u: jnp.ndarray, a, y0, axis_name: str):
+def linrec_first_order_sharded(u: jnp.ndarray, a, y0, axis_name: str,
+                               with_final: bool = False):
     """Distributed y[n] = a*y[n-1] + u[n] over a time-sharded stream.
 
     Local associative scan + cross-shard exclusive prefix over the per-shard
     (decay, offset) summaries.  Collective payload: 2 scalars per shard per
     leading element.
+
+    ``with_final=True`` additionally returns the stream's GLOBAL final value
+    (y at the last sample of the last shard), replicated on every shard —
+    computed from the already-gathered summaries at zero extra collective
+    cost, so recurrence blocks need no end-of-chunk state all_gather.
     """
     from luaradio_tpu.ops.scan import _affine_scan_doubling
     n = u.shape[-1]
@@ -117,7 +136,10 @@ def linrec_first_order_sharded(u: jnp.ndarray, a, y0, axis_name: str):
     y0 = jnp.asarray(y0, dtype=u.dtype)
     carry_in = jnp.where(idx == 0, y0,
                          ca[idx - 1] * y0 + cu[idx - 1])
-    return acum * carry_in[..., None] + ucum
+    y = acum * carry_in[..., None] + ucum
+    if with_final:
+        return y, ca[-1] * y0 + cu[-1]
+    return y
 
 
 def delay_sharded(x: jnp.ndarray, k: int, axis_name: str,
@@ -157,16 +179,22 @@ def cummax_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.maximum(local, prev[..., None])
 
 
-def cumsum_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def cumsum_sharded(x: jnp.ndarray, axis_name: str,
+                   with_total: bool = False):
     """Distributed cumulative sum along a time-sharded axis (phase
-    accumulators in FM modulators)."""
+    accumulators in FM modulators).  ``with_total=True`` additionally
+    returns the GLOBAL sum (replicated; zero extra collective cost — it is
+    the full reduction of the already-gathered per-shard totals)."""
     local = jnp.cumsum(x, axis=-1)
     totals = lax.all_gather(local[..., -1], axis_name)  # [D, ...]
     idx = lax.axis_index(axis_name)
     prefix = jnp.where(
         jnp.arange(totals.shape[0])[(...,) + (None,) * (totals.ndim - 1)]
         < idx, totals, jnp.zeros_like(totals)).sum(axis=0)
-    return local + prefix[..., None]
+    y = local + prefix[..., None]
+    if with_total:
+        return y, totals.sum(axis=0)
+    return y
 
 
 __all__ = ["left_halo", "fir_sharded", "fir_fft_sharded", "pll_linear_sharded",
