@@ -36,27 +36,50 @@ from luaradio_tpu.ops.complexutil import (host_to_payload, pack_complex,
                                           payload_to_host, unpack_complex)
 
 
+def _fetch_local(value):
+    """np.asarray, except that a multihost global array yields only THIS
+    process's contiguous block.  Returns (ndarray, last_axis_offset): the
+    global index the block's last axis starts at (0 for addressable
+    arrays), for translating global valid-sample counts to local ones."""
+    try:
+        import jax
+        if isinstance(value, jax.Array) and not value.is_fully_addressable:
+            from luaradio_tpu.parallel import multihost
+            return multihost.local_block(value)
+    except ImportError:
+        pass
+    return np.asarray(value), 0
+
+
 def _to_host(value, n_valid=None, masked=False, complex_=False):
     """Materialize an edge value on the host, compacting masked outputs.
 
     Device edges carry complex chunks as interleaved float32 (TPU backends
     reject complex64 at program boundaries — see ops.complexutil); they are
     re-viewed as complex64 here, zero-copy.  Time is the LAST axis; leading
-    axes (channel banks) pass through.
+    axes (channel banks) pass through.  Under multihost execution each
+    process sees only its own block of every chunk (per-host egress).
     """
     if masked:
         values, mask = value
-        arr = payload_to_host(np.asarray(values), complex_)
-        m = np.asarray(mask).astype(bool)
-        if n_valid is not None and n_valid < m.shape[-1]:
+        raw, _ = _fetch_local(values)
+        arr = payload_to_host(raw, complex_)
+        mraw, moff = _fetch_local(mask)
+        m = mraw.astype(bool)
+        nv = None if n_valid is None else max(0, n_valid - moff)
+        if nv is not None and nv < m.shape[-1]:
             m = m.copy()
-            m[..., n_valid:] = False
+            m[..., nv:] = False
         return arr[m]
     if isinstance(value, (list, tuple)):
         return value
-    arr = payload_to_host(np.asarray(value), complex_)
-    if n_valid is not None and n_valid < arr.shape[-1]:
-        arr = arr[..., :n_valid]
+    raw, off = _fetch_local(value)
+    arr = payload_to_host(raw, complex_)
+    # offsets of interleaved complex payloads are in float32 units
+    nv = None if n_valid is None else max(0, n_valid - (off // 2 if complex_
+                                                        else off))
+    if nv is not None and nv < arr.shape[-1]:
+        arr = arr[..., :nv]
     return arr
 
 
@@ -96,6 +119,13 @@ class Segment:
         self.channels = channels
         self.time_axis = time_axis
         self.wire_ingest = wire_ingest or {}
+        # Multihost: the mesh spans several processes; every process runs
+        # this same program, supplies its local block of each ext chunk,
+        # and fetches only its addressable output shards (DCN execution —
+        # parallel/multihost.py).
+        from luaradio_tpu.parallel import multihost as _mh
+        self.multihost = _mh.is_multihost(mesh)
+        self._ext_sharding: dict[str, Any] = {}
         in_seg = {id(b) for b in blocks}
 
         def _is_complex(block: Block, oi: int) -> bool:
@@ -225,11 +255,26 @@ class Segment:
             else:
                 def init_states():
                     return {bid[id(b)]: b.init_state() for b in blocks}
-            self.states = jax.jit(init_states)()
+            if self.multihost:
+                # a no-input jit with global out_shardings runs as one SPMD
+                # computation across all processes — the only way to create
+                # the replicated global state arrays without a broadcast
+                from jax.sharding import NamedSharding
+                shapes = jax.eval_shape(init_states)
+                out_sh = jax.tree.map(
+                    lambda l: NamedSharding(mesh, P(chan) if chan else P()),
+                    shapes)
+                self.states = jax.jit(init_states, out_shardings=out_sh)()
+            else:
+                self.states = jax.jit(init_states)()
 
             state_specs = jax.tree.map(lambda l: P(chan) if chan else P(),
                                        self.states)
             ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys}
+            if self.multihost:
+                from jax.sharding import NamedSharding
+                self._ext_sharding = {k: NamedSharding(mesh, s)
+                                      for k, s in ext_specs.items()}
             # masked producers emit (values, mask) pairs: both shard on time
             masked_keys = {f"{bid[id(b)]}.{oi}" for b in blocks
                            if getattr(b, "masked_output", False)
@@ -257,6 +302,8 @@ class Segment:
             c = channels or mesh.shape[channel_axis]
             self.fn = jax.jit(jax.vmap(step), donate_argnums=(0,),
                               in_shardings=(sh, sh), out_shardings=(sh, sh))
+            if self.multihost:
+                self._ext_sharding = {k: sh for k in self.ext_keys}
 
             def init_banked():
                 st = {bid[id(b)]: b.init_state() for b in blocks}
@@ -317,7 +364,14 @@ class Segment:
                     v = jnp.real(leaf.reshape(-1)[0])
                     acc = acc + v.astype(jnp.float32)
                 return acc
-            self._fence = jax.jit(fence)
+            if self.multihost:
+                # replicate the scalar over the global mesh so every
+                # process can fetch it locally
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._fence = jax.jit(
+                    fence, out_shardings=NamedSharding(self.mesh, P()))
+            else:
+                self._fence = jax.jit(fence)
         return float(self._fence(self.states))
 
 
@@ -454,10 +508,58 @@ class Runner:
         # re-enter device segments (variable-length per-channel streams
         # have no static banked shape).  Pure time sharding needs none of
         # this: boundary arrays stay logically global.
+        self._multihost = False
+        if mesh is not None:
+            from luaradio_tpu.parallel import multihost as _mh
+            self._multihost = _mh.is_multihost(mesh)
+
+        has_mid_host = any(
+            b.domain == "host" and b.outputs
+            and not isinstance(b, HostSourceBlock) for b in g.order)
+        if self._multihost and self._time_sharded and not chan_banked \
+                and has_mid_host:
+            raise NotImplementedError(
+                "multihost time sharding: a mid-graph host block needs the "
+                "global stream on one host; use a ('channel',) bank mesh "
+                "(whole channels per host) for framer/decoder graphs")
+
+        # Under multihost channel banking each process owns a contiguous
+        # range of channels (the rows its devices hold); host fan-out runs
+        # clones for LOCAL channels only, and sinks see local rows.
+        self._chan_local = (0, channels) if channels else None
+        if self._multihost and chan_banked:
+            import jax
+            ax = list(mesh.axis_names).index(channel_axis)
+            devs = np.moveaxis(np.asarray(mesh.devices), ax, 0)
+            devs = devs.reshape(devs.shape[0], -1)
+            pid = jax.process_index()
+            owned = [i for i in range(devs.shape[0])
+                     if {d.process_index for d in devs[i]} == {pid}]
+            part = [i for i in range(devs.shape[0])
+                    if i not in owned
+                    and pid in {d.process_index for d in devs[i]}]
+            if part and has_mid_host:
+                raise NotImplementedError(
+                    "multihost channel bank: a channel's time axis spans "
+                    "processes, so host blocks cannot see whole channels; "
+                    "order the mesh so each process owns whole channels")
+            if owned != list(range(min(owned, default=0),
+                                   min(owned, default=0) + len(owned))):
+                raise ValueError(
+                    "multihost channel bank: this process's channels are "
+                    "not contiguous; build the mesh from process-ordered "
+                    "devices")
+            rows_per = channels // devs.shape[0]
+            if owned:
+                self._chan_local = (owned[0] * rows_per,
+                                    (owned[-1] + 1) * rows_per)
+
         self._bank_clones: dict[int, list[Block]] = {}
         self._chan_banked = chan_banked
         if chan_banked:
             import copy
+            n_local = (self._chan_local[1] - self._chan_local[0]
+                       if self._chan_local else channels)
             for b in g.order:
                 if (b.domain != "host" or not b.outputs
                         or isinstance(b, HostSourceBlock)):
@@ -469,7 +571,7 @@ class Runner:
                         f"mesh execution: host block {b.name} feeding a "
                         f"device block is not supported in a channel bank")
                 self._bank_clones[id(b)] = [copy.deepcopy(b)
-                                            for _ in range(channels)]
+                                            for _ in range(n_local)]
 
         self.sources = [b for b in g.order if isinstance(b, HostSourceBlock)]
 
@@ -656,10 +758,24 @@ class Runner:
         # With a mesh, hand numpy payloads straight to the sharded jit (it
         # splits the host buffer across devices per in_shardings); a
         # jnp.asarray here would first land the whole chunk on one device.
-        ext = {k: (host_to_payload(values[k]) if seg.mesh is not None
-                   else jnp.asarray(host_to_payload(values[k])))
-               if isinstance(values[k], np.ndarray) else values[k]
-               for k in seg.ext_keys}
+        # Under multihost every process read the full chunk but commits
+        # only the block its local devices own (replicated read, sharded
+        # transfer — the standard pod ingest pattern).
+        def to_ext(k):
+            v = values[k]
+            if not isinstance(v, np.ndarray):
+                return v
+            payload = host_to_payload(v)
+            if seg.mesh is None:
+                return jnp.asarray(payload)
+            if seg.multihost:
+                from luaradio_tpu.parallel import multihost as _mh
+                sh = seg._ext_sharding[k]
+                sls = _mh.local_slices(sh, payload.shape)
+                return _mh.from_local(sh, payload[sls])
+            return payload
+
+        ext = {k: to_ext(k) for k in seg.ext_keys}
         outs = seg.run(ext)
         values.update(outs)
         for b in seg.blocks:
@@ -679,7 +795,9 @@ class Runner:
         state); banked device inputs are fetched once and sliced row-wise,
         banked host inputs pass through per channel."""
         g = self.graph
-        nch = self.channels
+        # under multihost this process fetches only its own channel rows
+        nch = (self._chan_local[1] - self._chan_local[0]
+               if self._chan_local else self.channels)
         clones = self._bank_clones.get(id(b))
         fetched = {}
         for i in range(len(b.inputs)):
@@ -695,16 +813,22 @@ class Runner:
             nv = nvalid.get(sk)
             if masked:
                 vals, mask = v
-                arr = payload_to_host(np.asarray(vals), cplx)
-                m = np.asarray(mask).astype(bool)
-                if nv is not None and nv < m.shape[-1]:
+                raw, _ = _fetch_local(vals)
+                arr = payload_to_host(raw, cplx)
+                mraw, moff = _fetch_local(mask)
+                m = mraw.astype(bool)
+                nvl = None if nv is None else max(0, nv - moff)
+                if nvl is not None and nvl < m.shape[-1]:
                     m = m.copy()
-                    m[..., nv:] = False
+                    m[..., nvl:] = False
                 fetched[i] = _Banked([arr[c][m[c]] for c in range(nch)])
             else:
-                arr = payload_to_host(np.asarray(v), cplx)
-                if nv is not None and nv < arr.shape[-1]:
-                    arr = arr[..., :nv]
+                raw, off = _fetch_local(v)
+                arr = payload_to_host(raw, cplx)
+                nvl = None if nv is None else max(
+                    0, nv - (off // 2 if cplx else off))
+                if nvl is not None and nvl < arr.shape[-1]:
+                    arr = arr[..., :nvl]
                 fetched[i] = _Banked([arr[c] for c in range(nch)])
 
         outs_rows = []
