@@ -200,7 +200,9 @@ class PreambleSamplerBlock(HostBlock):
         self._best_pos = 0
 
     def initialize(self):
-        self.symbol_period = int(self.get_rate() // self.baudrate)
+        # floor of the true quotient (reference preamblesampler.lua:50
+        # math.floor) — Python's // differs on exact-ratio floats
+        self.symbol_period = int(np.floor(self.get_rate() / self.baudrate))
         self._span = self.symbol_period * len(self.preamble)
 
     def _energies(self, buf: np.ndarray, start: int, count: int):

@@ -362,19 +362,17 @@ class FMDeemphasisFilterBlock(IIRFilterBlock):
         return _singlepole_lowpass_coeffs(cutoff, self.get_rate())
 
 
-class FMPreemphasisFilterBlock(IIRFilterBlock):
-    """FM preemphasis: inverse of the deemphasis 1-pole
-    (reference: fmpreemphasisfilter.lua)."""
+class FMPreemphasisFilterBlock(SinglepoleHighpassFilterBlock):
+    """FM preemphasis: single-pole HIGHPASS at 1/(2*pi*tau), exactly the
+    reference's delegation (fmpreemphasisfilter.lua:24-27 instantiates
+    SinglepoleHighpassFilterBlock(1/(2*pi*tau))).  Verified against the
+    reference's shipped golden vectors (tests/refparity); an earlier
+    revision used the exact algebraic inverse of the deemphasis pole
+    (pole at z=-1), which drifted ~1.0 from the reference's output."""
 
     def __init__(self, tau: float):
-        super().__init__([1.0], [1.0])
+        super().__init__(1.0 / (2 * np.pi * tau))
         self.tau = tau
-
-    def _design_ba(self):
-        cutoff = 1.0 / (2 * np.pi * self.tau)
-        k = np.tan(np.pi * cutoff / self.get_rate())
-        return (np.array([(1 + k) / k, (k - 1) / k]),
-                np.array([1.0, 1.0]))
 
 
 class DecimatingFIRBlock(SignalBlock):

@@ -140,7 +140,12 @@ class PulseAmplitudeModulatorBlock(SignalBlock):
         self.sample_rate = sample_rate
         self.levels = levels
         self.symbol_bits = int(np.log2(levels))
-        self.symbol_period = int(sample_rate // symbol_rate)
+        # floor of the true quotient, like the reference's math.floor
+        # (pulseamplitudemodulator.lua:40) — NOT Python's a//b, whose
+        # fmod-based result differs on exact-ratio floats (2.0//0.4 == 4.0
+        # but floor(2.0/0.4) == 5); caught by the reference's shipped
+        # golden vectors (tests/refparity)
+        self.symbol_period = int(np.floor(sample_rate / symbol_rate))
         self.msb_first = msb_first
         if amplitudes is None:
             scaling = np.sqrt((levels ** 2 - 1) / 3.0)

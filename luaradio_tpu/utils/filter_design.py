@@ -99,12 +99,26 @@ def firwin_complex_bandpass(num_taps: int, cutoffs: tuple[float, float],
 
 def firwin_complex_bandstop(num_taps: int, cutoffs: tuple[float, float],
                             window_type: str = "hamming") -> np.ndarray:
-    """Complex bandstop: identity minus translated lowpass."""
+    """Complex bandstop: frequency-translated real HIGHPASS prototype,
+    windowed, scaled to unity at DC or Nyquist — whichever lies outside
+    the stopband (reference design, filter_utils.lua:278-285).  Verified
+    against the reference's shipped golden vectors (tests/refparity); an
+    earlier revision used spectral inversion of the complex bandpass,
+    which drifts up to 5e-2 from this design."""
     if num_taps % 2 == 0:
         raise ValueError("bandstop design requires an odd number of taps")
-    h = -firwin_complex_bandpass(num_taps, cutoffs, window_type)
-    h[(num_taps - 1) // 2] += 1.0
-    return h
+    c1, c2 = cutoffs
+    cu = (max(c1, c2) - min(c1, c2)) / 2.0       # highpass prototype cutoff
+    center = (c1 + c2) / 2.0
+    m = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = -cu * _sinc(cu * m)
+    h[(num_taps - 1) // 2] = 1.0 - cu
+    hc = h * np.exp(1j * np.pi * center * m) * make_window(num_taps,
+                                                           window_type)
+    # scale at whichever of DC/Nyquist is in the passband
+    scale_freq = 1.0 if (c1 < 0.0 < c2) or (c2 < 0.0 < c1) else 0.0
+    resp = np.sum(hc * np.exp(-1j * np.pi * m * scale_freq))
+    return (hc / resp).astype(np.complex128)
 
 
 def fir_root_raised_cosine(num_taps: int, rate: float, beta: float,

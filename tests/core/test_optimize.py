@@ -137,15 +137,19 @@ def test_multi_consumer_edge_not_fused(tmp_path):
 
 
 def test_unstable_iir_not_converted(tmp_path):
-    """FMPreemphasis (pole on the unit circle) must stay an IIR scan."""
-    from luaradio_tpu import FMPreemphasisFilterBlock
+    """An IIR whose impulse response does not decay (pole on/near the unit
+    circle) must stay an IIR scan.  (FMPreemphasis no longer qualifies:
+    round 4 aligned it to the reference's stable single-pole highpass —
+    fmpreemphasisfilter.lua:24-27 — so a hand-built integrator stands in.)"""
+    from luaradio_tpu import IIRFilterBlock
     n = 8192
     x = RNG.standard_normal(n).astype(np.float32)
     fin = str(tmp_path / "in.f32")
     _write_f32(fin, x)
     top = CompositeBlock()
-    pre = FMPreemphasisFilterBlock(75e-6)
-    top.connect(RealFileSource(fin, "f32le", 48e3), pre,
+    leaky = IIRFilterBlock(np.array([1.0], np.float32),
+                           np.array([1.0, -0.9999999], np.float32))
+    top.connect(RealFileSource(fin, "f32le", 48e3), leaky,
                 RealFileSink(str(tmp_path / "o.f32"), "f32le"))
     g = Graph(top, chunk_size=2048, optimize=True)
-    assert pre in g.order  # not rewritten
+    assert leaky in g.order  # not rewritten

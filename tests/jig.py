@@ -84,10 +84,12 @@ def run_block(block, inputs, splits=None):
         for i, y in enumerate(ys):
             outs[i].append(np.asarray(y))
     if masks is not None:
+        if not masks:
+            return [np.zeros(0)]
         vals = np.concatenate(outs[0], axis=-1)
         mask = np.concatenate(masks, axis=-1).astype(bool)
         return [vals[..., mask]]
-    return [np.concatenate(o, axis=-1) for o in outs]
+    return [np.concatenate(o, axis=-1) if o else np.zeros(0) for o in outs]
 
 
 def run_source(block, n: int, chunk: int = 1024):
