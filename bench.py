@@ -210,6 +210,14 @@ def main():
         fsps = bench_file_runner(t_deadline + 60.0, resident=False)
         rec["file_driven_samples_per_sec"] = fsps
         rec["file_driven_vs_baseline"] = fsps / BASELINE_SPS
+        # the streaming row is bound by the tunneled host->device link;
+        # measure that ceiling CONCURRENTLY (it drifts over minutes) and
+        # report the fraction achieved (u8 IQ = 2 wire bytes/sample)
+        from bench_blocks import measure_ingest_ceiling
+        ceiling_mbps = measure_ingest_ceiling()
+        rec["link_ceiling_mbps"] = round(ceiling_mbps, 1)
+        rec["file_driven_fraction_of_link"] = round(
+            fsps * 2 / (ceiling_mbps * 1e6), 3)
     except Exception as exc:
         rec["file_driven_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:

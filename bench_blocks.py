@@ -397,7 +397,6 @@ def main():
     _setup_jax()
 
     results = []
-    ceiling = None
     for name, baseline, build in benchmarks():
         if args.only and args.only.lower() not in name.lower():
             continue
@@ -407,11 +406,22 @@ def main():
             rec = {"name": name, "baseline_i5_msps": baseline,
                    "error": f"{type(exc).__name__}: {exc}"[:300]}
         if "File Source" in name and "resident" not in name:
-            if ceiling is None:
-                ceiling = measure_ingest_ceiling()
+            # the tunnel throttle drifts over minutes: re-measure the link
+            # ceiling PER ROW, right after the row it bounds
+            ceiling = measure_ingest_ceiling()
             rec["ingest_ceiling_mbps"] = round(ceiling, 1)
-            rec["note"] = ("streaming row: bound by the measured sustained "
-                           "host->device link rate above, not by compute")
+            # wire bytes/sample by row: u8 IQ=2, f32 IQ=8, f32 real/raw=4
+            bps = {"IQ File Source (f32le)": 8,
+                   "Real File Source (f32le)": 4,
+                   "Raw File Source (float)": 4,
+                   "IQ File Source (u8, device-side conversion)": 2}.get(name)
+            if "msps" in rec and bps:
+                rec["wire_bytes_per_sample"] = bps
+                rec["fraction_of_link_ceiling"] = round(
+                    rec["msps"] * bps / ceiling, 3)
+            rec["note"] = ("streaming row: bound by the sustained "
+                           "host->device link rate measured alongside it, "
+                           "not by compute")
         print(json.dumps(rec), flush=True)
         results.append(rec)
 

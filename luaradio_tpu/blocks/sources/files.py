@@ -207,6 +207,14 @@ class _FileSourceBase(HostSourceBlock):
         self._res_pos = (self._res_pos + n) % self._res_n
         return out
 
+    def resident_window_args(self, n: int):
+        """(ring array, window start item) for this chunk and advance —
+        the mesh runtime slices the window inside the sharded program
+        (core/runtime.py resident_ingest)."""
+        start = np.int32(self._res_pos * self._res_k)
+        self._res_pos = (self._res_pos + n) % self._res_n
+        return self._res_buf, start
+
 
 def _make_wire_ingest(fmt):
     """Build the on-device raw -> float32 converter for an exact-in-f32

@@ -69,11 +69,30 @@ def main(argv=None) -> int:
                              "iqfile:capture.iq,format=f32le,rate=1e6")
     parser.add_argument("-o", "--output", metavar="SPEC",
                         help="application output, e.g. wavfile:out.wav")
+    parser.add_argument("--ingest", metavar="MODE",
+                        choices=["auto", "stream", "wire", "resident"],
+                        help="force the source ingest mode: stream (host "
+                             "conversion), wire (raw integer samples "
+                             "converted on-device), resident (repeating "
+                             "file kept in device memory); default auto")
+    parser.add_argument("--ingest-stripes", metavar="N", type=int,
+                        help="parallel host->device transfer stripes for "
+                             "large payloads (default 2; the tunneled "
+                             "transport's throttle is per-connection)")
     parser.add_argument("script_or_args", nargs="*",
                         help="flow-graph script to run, or application "
                              "arguments / --options")
     ns, extra = parser.parse_known_args(argv)
     ns.script_or_args = ns.script_or_args + extra
+
+    # ingest options flow to every Runner (scripts and applications alike)
+    # through the environment — the same override surface as the
+    # reference's LUARADIO_* env flags (platform.lua:328-330)
+    import os
+    if ns.ingest:
+        os.environ["LUARADIO_TPU_INGEST"] = ns.ingest
+    if ns.ingest_stripes:
+        os.environ["LUARADIO_TPU_STRIPES"] = str(ns.ingest_stripes)
 
     if ns.version:
         import luaradio_tpu

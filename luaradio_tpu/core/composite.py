@@ -176,7 +176,8 @@ class CompositeBlock(Block):
     def run(self, mode: str = "fused", max_chunks: int | None = None,
             chunk_size: int | None = None, optimize: bool | None = None,
             mesh=None, channels: int | None = None,
-            channel_axis: str = "channel", time_axis: str = "time"):
+            channel_axis: str = "channel", time_axis: str = "time",
+            ingest: str | None = None):
         """Run the flow graph to completion (EOF of any source).
 
         With ``mesh``, a mesh axis named ``channel_axis`` banks a leading
@@ -186,7 +187,8 @@ class CompositeBlock(Block):
         from luaradio_tpu.core.runtime import Runner
         runner = Runner(self, mode=mode, chunk_size=chunk_size,
                         optimize=optimize, mesh=mesh, channels=channels,
-                        channel_axis=channel_axis, time_axis=time_axis)
+                        channel_axis=channel_axis, time_axis=time_axis,
+                        ingest=ingest)
         runner.run(max_chunks=max_chunks)
         return self
 

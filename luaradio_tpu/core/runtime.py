@@ -109,7 +109,8 @@ class Segment:
     def __init__(self, graph: Graph, blocks: list[Block], bid: dict[int, str],
                  jit_compile: bool, mesh=None, channels: int | None = None,
                  channel_axis: str = "channel", time_axis: str | None = None,
-                 wire_ingest: dict[str, Any] | None = None):
+                 wire_ingest: dict[str, Any] | None = None,
+                 resident_ingest: dict[str, tuple] | None = None):
         import jax
 
         self.blocks = blocks
@@ -119,6 +120,11 @@ class Segment:
         self.channels = channels
         self.time_axis = time_axis
         self.wire_ingest = wire_ingest or {}
+        # key -> (window items per chunk, items per sample): the source's
+        # ring is device-resident and replicated over the mesh; the step
+        # slices each chunk's window in-graph (per shard under time
+        # sharding) from '<key>#buf' at '<key>#start'.
+        self.resident_ingest = resident_ingest or {}
         # Multihost: the mesh spans several processes; every process runs
         # this same program, supplies its local block of each ext chunk,
         # and fetches only its addressable output shards (DCN execution —
@@ -169,8 +175,15 @@ class Segment:
         edges = graph.edges
 
         wire = self.wire_ingest
+        res = self.resident_ingest
         tshards = int(mesh.shape[time_axis]) if (
             mesh is not None and time_axis is not None) else 1
+
+        #: the ext entries _run_segment actually sends: resident keys are
+        #: replaced by their ring + window-start scalars
+        self.ext_transfer_keys = (
+            [k for k in self.ext_keys if k not in res]
+            + [k + sfx for k in res for sfx in ("#buf", "#start")])
 
         def step(states: dict, ext: dict):
             # wire-ingest edges arrive as raw integer wire samples and are
@@ -178,7 +191,22 @@ class Segment:
             # ingest bottleneck; the VPU conversion is free in comparison).
             # Under time sharding this body runs inside shard_map: blocks
             # go through their process_sharded/generate_sharded contract.
+            from jax import lax
+
             vals = {}
+            ext = dict(ext)
+            for k, (items, _kf) in res.items():
+                # slice this chunk's window from the device-resident ring
+                # (replicated over the mesh; each shard takes its own part)
+                buf = ext.pop(k + "#buf")
+                start = ext.pop(k + "#start")
+                if tshards > 1:
+                    ll = items // tshards
+                    idx = lax.axis_index(time_axis)
+                    ext[k] = lax.dynamic_slice(buf, (start + idx * ll,),
+                                               (ll,))
+                else:
+                    ext[k] = lax.dynamic_slice(buf, (start,), (items,))
             for k, v in ext.items():
                 if k in wire:
                     v = wire[k](v)
@@ -270,7 +298,11 @@ class Segment:
 
             state_specs = jax.tree.map(lambda l: P(chan) if chan else P(),
                                        self.states)
-            ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys}
+            ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys
+                         if k not in self.resident_ingest}
+            for k in self.resident_ingest:  # ring + start are replicated
+                ext_specs[k + "#buf"] = P()
+                ext_specs[k + "#start"] = P()
             if self.multihost:
                 from jax.sharding import NamedSharding
                 self._ext_sharding = {k: NamedSharding(mesh, s)
@@ -470,7 +502,8 @@ class Runner:
                  optimize: bool | None = None, mesh=None,
                  channels: int | None = None,
                  channel_axis: str = "channel",
-                 time_axis: str = "time"):
+                 time_axis: str = "time",
+                 ingest: str | None = None):
         # A mesh axis named ``time_axis`` shards every stream's time axis
         # across devices — the generic form of parallel/time.py, for ANY
         # graph of blocks that implement the SignalBlock time-sharding
@@ -580,10 +613,26 @@ class Runner:
         # device-side conversion) and lets the fused program convert; the
         # same all-device-consumers test decides which source payloads the
         # prefetcher may move to the device ahead of dispatch.
+        # ``ingest`` forces the mode: None=auto, "stream" disables wire and
+        # resident, "wire" requires device-side conversion, "resident"
+        # requires the device-resident ring (each raises if unsupported).
+        if ingest is None:
+            import os
+            ingest = os.environ.get("LUARADIO_TPU_INGEST") or None
+        if ingest not in (None, "auto", "stream", "wire", "resident"):
+            raise ValueError(f"unknown ingest mode {ingest!r}")
+        force = None if ingest == "auto" else ingest
         self.wire_ingest: dict[str, Any] = {}
         self._wire_srcs: set[int] = set()
         self._resident_srcs: set[int] = set()
+        self._resident_mesh_srcs: set[int] = set()
+        self.resident_ingest: dict[str, tuple] = {}
         self._transfer_keys: set[str] = set()
+        # resident rings work serially and under a pure time mesh (the ring
+        # replicates across shards and each shard slices its own window);
+        # channel banks read banked host sources instead.
+        res_mesh_ok = (self._time_sharded and not chan_banked
+                       and not self._multihost)
         for s in self.sources:
             keys = [f"{self.bid[id(s)]}.{oi}" for oi in range(len(s.outputs))]
             all_dev = all(
@@ -591,21 +640,52 @@ class Runner:
                 for oi in range(len(s.outputs))
                 for c in g.consumers(PortRef(s, oi)))
             if not all_dev:
+                if force in ("wire", "resident"):
+                    raise ValueError(
+                        f"ingest={force!r}: source {s.name} feeds host "
+                        f"blocks, which need host-side samples")
                 continue
             if mesh is None and mode == "fused":
                 self._transfer_keys.update(keys)
-            ing = s.device_ingest() if mode == "fused" else None
+            ing = (s.device_ingest()
+                   if mode == "fused" and force != "stream" else None)
             if ing is not None and len(s.outputs) == 1:
                 self.wire_ingest[keys[0]] = ing
                 self._wire_srcs.add(id(s))
-            # Device-resident loop: a repeating file source whose decoded
-            # payload fits HBM streams with ZERO host link traffic.
-            if (mode == "fused" and mesh is None and len(s.outputs) == 1
+            elif force == "wire":
+                raise ValueError(
+                    f"ingest='wire': source {s.name} has no exact "
+                    f"device-side wire conversion (32-bit/float formats "
+                    f"convert on the host)")
+            if (mode == "fused" and (mesh is None or res_mesh_ok)
+                    and force != "stream" and len(s.outputs) == 1
                     and getattr(s, "repeat_on_eof", False)
                     and hasattr(s, "resident_setup")
                     and s.resident_setup(g.out_chunk[id(s)])):
+                # Device-resident loop: the repeating file's decoded
+                # payload streams from HBM with ZERO host link traffic.
                 self._resident_srcs.add(id(s))
                 self._wire_srcs.discard(id(s))
+                if mesh is not None:
+                    import jax
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    self._resident_mesh_srcs.add(id(s))
+                    # replicate the ring across the mesh once; each shard
+                    # slices its own window inside the sharded step
+                    s._res_buf = jax.device_put(
+                        s._res_buf, NamedSharding(mesh, PartitionSpec()))
+                    key = keys[0]
+                    self.resident_ingest[key] = (
+                        g.out_chunk[id(s)] * s._res_k, s._res_k)
+                    self.wire_ingest.pop(key, None)
+                    if s.device_ingest() is not None and force != "stream":
+                        self.wire_ingest[key] = s.device_ingest()
+            elif force == "resident":
+                raise ValueError(
+                    f"ingest='resident': source {s.name} is not an "
+                    f"eligible repeating file source (needs repeat_on_eof,"
+                    f" a payload within LUARADIO_TPU_RESIDENT_BUDGET, and "
+                    f"no channel/multihost mesh)")
 
         # Build one segment per stage that contains device blocks.
         self.stage_plan: list[tuple[Segment | None, list[Block]]] = []
@@ -618,7 +698,9 @@ class Runner:
             seg = Segment(g, dev, self.bid, mode == "fused", mesh=mesh,
                           channels=channels, channel_axis=channel_axis,
                           time_axis=self.time_axis,
-                          wire_ingest=self.wire_ingest) if dev else None
+                          wire_ingest=self.wire_ingest,
+                          resident_ingest=self.resident_ingest) \
+                if dev else None
             self.stage_plan.append((seg, host))
 
         # Pipelined pumping: when no device block consumes a host block's
@@ -651,6 +733,18 @@ class Runner:
     _STRIPE_BYTES = 8 << 20
     _STRIPES = 2
 
+    @property
+    def _stripes(self) -> int:
+        """Transfer stripe count: LUARADIO_TPU_STRIPES (or --ingest-stripes)
+        overrides the default of 2; tune against the measured link (two
+        concurrent streams measured ~1.9x one on the tunneled transport)."""
+        import os
+        try:
+            return max(1, int(os.environ.get("LUARADIO_TPU_STRIPES",
+                                             self._STRIPES)))
+        except ValueError:
+            return self._STRIPES
+
     def _prefetch_put(self, key: str, value):
         """Prefetch-thread hook: start the host->device transfer of payloads
         that only device blocks consume (the transfer overlaps the previous
@@ -668,10 +762,10 @@ class Runner:
             import concurrent.futures
             import jax.numpy as jnp
             self._stripe_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=self._STRIPES)
+                max_workers=self._stripes)
             self._stripe_concat = jax.jit(
                 lambda parts: jnp.concatenate(parts, axis=-1))
-        stripes = np.array_split(payload, self._STRIPES, axis=-1)
+        stripes = np.array_split(payload, self._stripes, axis=-1)
         futs = [self._stripe_pool.submit(jax.device_put, s) for s in stripes]
         return self._stripe_concat([f.result() for f in futs])
 
@@ -706,6 +800,13 @@ class Runner:
         # reference semantics end the stream at EOF
         for s in self.sources:
             want = g.out_chunk[id(s)]
+            if id(s) in self._resident_mesh_srcs:
+                key = f"{self.bid[id(s)]}.0"
+                buf, start = s.resident_window_args(want)
+                values[key + "#buf"] = buf
+                values[key + "#start"] = start
+                nvalid[key] = want
+                continue
             if id(s) in self._resident_srcs:
                 key = f"{self.bid[id(s)]}.0"
                 values[key] = s.resident_read(want)
@@ -775,7 +876,7 @@ class Runner:
                 return _mh.from_local(sh, payload[sls])
             return payload
 
-        ext = {k: to_ext(k) for k in seg.ext_keys}
+        ext = {k: to_ext(k) for k in seg.ext_transfer_keys}
         outs = seg.run(ext)
         values.update(outs)
         for b in seg.blocks:

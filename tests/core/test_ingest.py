@@ -225,3 +225,86 @@ def test_prefetcher_bounded_by_max_chunks(tmp_path):
     r = Runner(top, mode="fused", chunk_size=1024)
     r.run(max_chunks=3)
     assert src.reads == 3
+
+
+def test_resident_loop_under_time_mesh(tmp_path):
+    """Device-resident ring under a ("time",) mesh: the ring replicates
+    across shards and each shard slices its own window in-graph; output
+    must equal the serial resident run exactly (incl. ring wraparound)."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = 3000
+    x = ((RNG.standard_normal(n) + 1j * RNG.standard_normal(n)) * 0.3
+         ).astype(np.complex64)
+    path = str(tmp_path / "loop.iq")
+    _write_iq(path, x, "f32le")
+
+    def run(mesh, out):
+        src = lr.IQFileSource(path, "f32le", 1e6, repeat_on_eof=True)
+        top = _run_graph(src, out)
+        r = Runner(top, mode="fused", chunk_size=1024, mesh=mesh,
+                   ingest="resident")
+        assert r._resident_srcs
+        assert bool(r._resident_mesh_srcs) == (mesh is not None)
+        r.run(max_chunks=8)
+
+    a, b = tmp_path / "serial.iq", tmp_path / "mesh.iq"
+    run(None, a)
+    run(Mesh(np.array(jax.devices("cpu")[:8]), ("time",)), b)
+    xa = np.fromfile(str(a), dtype=np.complex64)
+    xb = np.fromfile(str(b), dtype=np.complex64)
+    assert xa.shape == xb.shape and np.array_equal(xa, xb)
+
+
+def test_wire_ingest_under_time_mesh(tmp_path):
+    """u8 wire samples convert on-device inside the sharded program; the
+    stream equals the serial wire run bit-exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    raw = RNG.integers(0, 256, 2 * 4096, dtype=np.uint8)
+    path = str(tmp_path / "w.iq")
+    raw.tofile(path)
+
+    def run(mesh, out):
+        src = lr.IQFileSource(path, "u8", 1e6)
+        top = _run_graph(src, out)
+        r = Runner(top, mode="fused", chunk_size=1024, mesh=mesh,
+                   ingest="wire")
+        assert r._wire_srcs
+        r.run()
+
+    a, b = tmp_path / "serial.iq", tmp_path / "mesh.iq"
+    run(None, a)
+    run(Mesh(np.array(jax.devices("cpu")[:4]), ("time",)), b)
+    xa = np.fromfile(str(a), dtype=np.complex64)
+    xb = np.fromfile(str(b), dtype=np.complex64)
+    assert xa.shape == xb.shape and np.array_equal(xa, xb)
+
+
+def test_ingest_mode_forcing_errors(tmp_path):
+    """ingest='wire'/'resident' raise clear errors when unsupported;
+    ingest='stream' disables both optimizations."""
+    x = (RNG.standard_normal(256) + 1j * RNG.standard_normal(256)
+         ).astype(np.complex64)
+    path = str(tmp_path / "x.iq")
+    _write_iq(path, x, "f32le")
+
+    # f32 has no wire conversion
+    top = _run_graph(lr.IQFileSource(path, "f32le", 1e6),
+                     tmp_path / "o1.iq")
+    with pytest.raises(ValueError, match="ingest='wire'"):
+        Runner(top, mode="fused", chunk_size=128, ingest="wire")
+
+    # non-repeating source cannot be resident
+    top = _run_graph(lr.IQFileSource(path, "f32le", 1e6),
+                     tmp_path / "o2.iq")
+    with pytest.raises(ValueError, match="ingest='resident'"):
+        Runner(top, mode="fused", chunk_size=128, ingest="resident")
+
+    # stream disables the resident ring a repeating source would get
+    top = _run_graph(lr.IQFileSource(path, "f32le", 1e6,
+                                     repeat_on_eof=True), tmp_path / "o3.iq")
+    r = Runner(top, mode="fused", chunk_size=128, ingest="stream")
+    assert not r._resident_srcs and not r._wire_srcs
