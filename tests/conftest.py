@@ -24,3 +24,20 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: spawns subprocesses / long-running scenarios")
+    config.addinivalue_line(
+        "markers", "accel_matrix: full-suite sweep lane, select with -m")
+
+
+def pytest_collection_modifyitems(config, items):
+    """accel_matrix lane tests run only when explicitly selected with -m:
+    each re-runs the whole block suite under one acceleration config."""
+    expr = config.getoption("-m") or ""
+    if "accel_matrix" in expr:
+        return
+    import pytest as _pytest
+    skip = _pytest.mark.skip(
+        reason="accel-matrix lane: run with `pytest -m accel_matrix` "
+               "(or tests/run_accel_matrix.py)")
+    for item in items:
+        if "accel_matrix" in item.keywords:
+            item.add_marker(skip)

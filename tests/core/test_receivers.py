@@ -113,9 +113,9 @@ def test_rds_receiver_end_to_end():
     assert len(recovered) >= 3, (groups, raw_found)
 
 
-def test_pocsag_receiver_end_to_end():
-    """Synthesize 2-FSK POCSAG at 4.5 kHz deviation and decode a message
-    with the full receiver."""
+def make_pocsag_iq():
+    """Synthesized 2-FSK POCSAG capture: returns (iq, rate, baud,
+    address, func, text)."""
     rate = 38400.0
     baud = 1200
     address, func = 0x12342, 2
@@ -155,7 +155,13 @@ def test_pocsag_receiver_end_to_end():
     phi = 2 * np.pi * np.cumsum(freqs) / rate
     iq = np.exp(1j * phi).astype(np.complex64)
     iq = np.concatenate([iq, np.zeros(4096, dtype=np.complex64)])
+    return iq, rate, baud, address, func, "HI"
 
+
+def test_pocsag_receiver_end_to_end():
+    """Synthesize 2-FSK POCSAG at 4.5 kHz deviation and decode a message
+    with the full receiver."""
+    iq, rate, baud, address, func, text = make_pocsag_iq()
     top = CompositeBlock()
     src = ArraySource(iq, rate)
     rx = radio.POCSAGReceiver(baud)
@@ -170,9 +176,9 @@ def test_pocsag_receiver_end_to_end():
     assert msg.alphanumeric == "HI"
 
 
-def test_ert_scm_receiver_end_to_end():
-    """Synthesize an OOK Manchester SCM burst (32768 chips/s) and decode it
-    with the full ERTReceiver chain."""
+def make_scm_iq():
+    """Synthesized OOK Manchester SCM burst: returns (iq, rate, ert_id,
+    consumption)."""
     from luaradio_tpu.blocks.protocol.ert import _scm_code
     from luaradio_tpu.types import number_to_bits
 
@@ -205,7 +211,13 @@ def test_ert_scm_receiver_end_to_end():
     envelope = np.concatenate([lead, ook, tail])
     iq = (envelope * np.exp(1j * 2 * np.pi * 0.11 *
                             np.arange(len(envelope)))).astype(np.complex64)
+    return iq, rate, ert_id, consumption
 
+
+def test_ert_scm_receiver_end_to_end():
+    """Synthesize an OOK Manchester SCM burst (32768 chips/s) and decode it
+    with the full ERTReceiver chain."""
+    iq, rate, ert_id, consumption = make_scm_iq()
     top = CompositeBlock()
     src = ArraySource(iq, rate)
     rx = radio.ERTReceiver(("scm",))
@@ -221,9 +233,8 @@ def test_ert_scm_receiver_end_to_end():
     assert frame.ert_type == 4
 
 
-def test_bpsk31_receiver_end_to_end():
-    """Synthesize differential BPSK31 (31.25 baud, 0 = phase reversal) and
-    decode text with the full receiver."""
+def make_bpsk31_iq():
+    """Synthesized differential BPSK31 capture: returns (iq, rate, text)."""
     from luaradio_tpu.blocks.protocol.varicode import VARICODE
 
     rate = 8000.0
@@ -248,7 +259,13 @@ def test_bpsk31_receiver_end_to_end():
     # clean synthetic; feed rectangular BPSK at baseband
     iq = (bb + 0j).astype(np.complex64)
     iq = np.concatenate([iq, np.zeros(8192, np.complex64)])
+    return iq, rate, text
 
+
+def test_bpsk31_receiver_end_to_end():
+    """Synthesize differential BPSK31 (31.25 baud, 0 = phase reversal) and
+    decode text with the full receiver."""
+    iq, rate, text = make_bpsk31_iq()
     top = CompositeBlock()
     src = ArraySource(iq, rate)
     rx = radio.BPSK31Receiver()
@@ -260,9 +277,8 @@ def test_bpsk31_receiver_end_to_end():
     assert text in decoded, decoded
 
 
-def test_ax25_receiver_end_to_end():
-    """Synthesize Bell-202 AFSK (1200 baud, NRZI, HDLC) and decode an AX.25
-    frame with the full receiver."""
+def make_ax25_iq():
+    """Synthesized Bell-202 AFSK AX.25 capture: returns (iq, rate)."""
     from tests.blocks.test_protocol import ax25_encode, hdlc_stuff
 
     rate = 48000.0
@@ -289,7 +305,13 @@ def test_ax25_receiver_end_to_end():
     phi = 2 * np.pi * 3e3 * np.cumsum(audio) / rate
     iq = np.exp(1j * phi).astype(np.complex64)
     iq = np.concatenate([iq, np.zeros(16384, np.complex64)])
+    return iq, rate
 
+
+def test_ax25_receiver_end_to_end():
+    """Synthesize Bell-202 AFSK (1200 baud, NRZI, HDLC) and decode an AX.25
+    frame with the full receiver."""
+    iq, rate = make_ax25_iq()
     top = CompositeBlock()
     src = ArraySource(iq, rate)
     rx = radio.AX25Receiver()

@@ -12,12 +12,59 @@ whole-vector run and with the golden vector within the type epsilon.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
 
 from luaradio_tpu.core.block import HostBlock, SignalBlock, SignalSourceBlock
 from luaradio_tpu.types import SampleType
+
+#: LUARADIO_TPU_JIG_TIME_SHARD=N runs every device-block process() call in
+#: the jig through process_sharded on an N-device virtual ("time",) mesh —
+#: the acceleration-matrix lane's way of sweeping ALL golden vectors
+#: through the time-sharding implementations (reference analog: the whole
+#: busted suite under every backend combo, tests.yml:96-105).  Blocks or
+#: vectors that cannot shard (unsupported block, length not divisible,
+#: carried tail exceeding the shard) fall back to the plain path.
+_JIG_TIME_SHARD = int(os.environ.get("LUARADIO_TPU_JIG_TIME_SHARD", "0")
+                      or 0)
+
+
+def _sharded_process(block, state, xs):
+    """One chunk through block.process_sharded under a virtual time mesh."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    d = _JIG_TIME_SHARD
+    mesh = Mesh(np.array(jax.devices()[:d]), ("t",))
+
+    def fn(s, *xa):
+        return block.process_sharded(s, *xa, axis_name="t")
+
+    st_spec = jax.tree.map(lambda _: P(), state)
+    x_specs = tuple(P(*([None] * (np.ndim(x) - 1)), "t") for x in xs)
+    # output structure/shapes from the PLAIN process (identical tree);
+    # fn itself cannot be shape-traced outside shard_map (unbound axis)
+    st_sh, ys_sh = jax.eval_shape(block.process, state, *xs)
+    out_specs = (jax.tree.map(lambda _: P(), st_sh),
+                 jax.tree.map(lambda l: P(*([None] * (l.ndim - 1)), "t"),
+                              ys_sh))
+    kw = {}
+    params = inspect.signature(shard_map).parameters
+    if "check_rep" in params:
+        kw["check_rep"] = False
+    elif "check_vma" in params:
+        kw["check_vma"] = False
+    f = shard_map(fn, mesh=mesh, in_specs=(st_spec,) + x_specs,
+                  out_specs=out_specs, **kw)
+    return f(state, *xs)
 
 
 def _dtype_to_type(arr):
@@ -73,7 +120,18 @@ def run_block(block, inputs, splits=None):
     outs = [[] for _ in range(n_out)]
     masks = [] if getattr(block, "masked_output", False) else None
     for a, b in bounds:
-        state, ys = block.process(state, *[x[..., a:b] for x in arrs])
+        chunk_xs = [x[..., a:b] for x in arrs]
+        # shard the whole-vector pass only: the uneven split passes would
+        # each compile a fresh shard_map program per chunk length
+        if _JIG_TIME_SHARD > 1 and (a, b) == (0, n) \
+                and n % _JIG_TIME_SHARD == 0 and n >= _JIG_TIME_SHARD:
+            try:
+                state, ys = _sharded_process(block, state, chunk_xs)
+            except (NotImplementedError, ValueError, AssertionError,
+                    TypeError, ZeroDivisionError):
+                state, ys = block.process(state, *chunk_xs)
+        else:
+            state, ys = block.process(state, *chunk_xs)
         if masks is not None:
             vals, mask = ys
             outs[0].append(np.asarray(vals))
