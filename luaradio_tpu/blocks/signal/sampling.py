@@ -143,27 +143,65 @@ class NopBlock(SignalBlock):
 
 
 class ThrottleBlock(HostBlock):
-    """Host-side rate pacing for real-time sinks (audio, plotting).  The
-    reference paces reads with adaptive usleep (throttle.lua:30-110); here the
-    host pump is paced by sleeping chunk_len/rate per chunk."""
+    """Host-side rate pacing for real-time sinks (audio, plotting).
+
+    The reference adapts a per-chunk usleep with measured-rate feedback
+    and doubles its chunk size when sleeps get too short
+    (throttle.lua:30-110) — necessary because relative sleeps accumulate
+    oversleep drift.  Here pacing is an ABSOLUTE schedule: chunk k is
+    released at t0 + samples_sent/rate, so timer oversleep self-corrects
+    and long runs cannot drift by construction.  Two elements of the
+    reference's controller survive in adapted form:
+
+    * measured-rate telemetry: ``actual_rate`` is re-estimated every
+      ADJUST_PERIOD_S seconds (the reference's adjust loop prints the
+      same; LUARADIO_TPU_DEBUG logs it);
+    * bounded backlog: if the pump stalls longer than MAX_BACKLOG_S the
+      schedule re-anchors, so recovery resumes paced output instead of
+      bursting the accumulated debt unpaced (the reference's relative
+      sleeps have the same property implicitly).
+    """
+
+    ADJUST_PERIOD_S = 0.5
+    MAX_BACKLOG_S = 0.25
 
     def __init__(self, rate: float | None = None):
         super().__init__()
         self.rate_limit = rate
-        self._t_next = None
+        self._t0 = None
+        self._sent = 0
+        self._adj_t = None
+        self._adj_sent = 0
+        #: most recent measured output rate (samples/s), None until the
+        #: first adjust period completes
+        self.actual_rate: float | None = None
         self.add_type_signature([Input("in", lambda t: True)],
                                 [Output("out", lambda ts: ts[0])])
 
     def process(self, x):
         rate = self.rate_limit or self.get_rate()
-        duration = len(x) / rate
         now = time.monotonic()
-        if self._t_next is None:
-            self._t_next = now
-        self._t_next += duration
-        delay = self._t_next - now
+        if self._t0 is None:
+            self._t0 = now
+            self._adj_t = now
+        self._sent += len(x)
+        self._adj_sent += len(x)
+        target = self._t0 + self._sent / rate
+        delay = target - now
         if delay > 0:
             time.sleep(delay)
+        elif -delay > self.MAX_BACKLOG_S:
+            # stalled pump: re-anchor instead of bursting the debt
+            self._t0 = now - (self._sent / rate) + self.MAX_BACKLOG_S
+        t = time.monotonic()
+        if t - self._adj_t >= self.ADJUST_PERIOD_S:
+            self.actual_rate = self._adj_sent / (t - self._adj_t)
+            from luaradio_tpu.core import debug
+            debug.printf("[ThrottleBlock] target %.2f | actual %.2f | "
+                         "error %.2f", rate, self.actual_rate,
+                         rate - self.actual_rate)
+            self._adj_t = t
+            self._adj_sent = 0
         return np.asarray(x)
 
 

@@ -91,8 +91,12 @@ class _SDRSourceBase(HostSourceBlock):
         return self.ring
 
     def read(self, n: int):
-        """Drain up to n samples from the ring; None at EOF/shutdown."""
-        out = self.ring.read(n, timeout=self.READ_TIMEOUT)
+        """A full n-sample chunk from the ring (blocking while the radio
+        fills it in real time — a short mid-stream read would be misread
+        as EOF by the static-chunk runtime); the final partial chunk at
+        stream close, then None at EOF; None too on a stalled producer
+        (READ_TIMEOUT with no data — dead hardware)."""
+        out = self.ring.read_exact(n, timeout=self.READ_TIMEOUT)
         if out is None or len(out) == 0:
             return None
         return out

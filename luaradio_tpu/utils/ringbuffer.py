@@ -112,6 +112,34 @@ class SampleRingBuffer:
             self._nonempty.notify_all()  # wakes write_blocking producers
             return out
 
+    def read_exact(self, n: int, timeout: float | None = None):
+        """Read EXACTLY n samples, blocking until they have accumulated —
+        the live-streaming contract: a paced radio fills the ring in real
+        time and a short read mid-stream would be misread as EOF by the
+        static-chunk runtime.  At close the remaining (< n) samples are
+        returned, then None (EOF).  On timeout (stalled producer — dead
+        hardware or a paused stream) whatever is available is returned,
+        possibly empty — the pre-round-4 drain semantics."""
+        with self._nonempty:
+            self._nonempty.wait_for(
+                lambda: self._closed or (self._wr - self._rd) >= n,
+                timeout=timeout)
+            avail = self._wr - self._rd
+            if avail == 0:
+                if self._closed:
+                    return None  # closed and drained
+                return np.empty(0, dtype=self._buf.dtype)
+            take = min(n, avail)
+            pos = self._rd % self.capacity
+            first = min(take, self.capacity - pos)
+            out = np.empty(take, dtype=self._buf.dtype)
+            out[:first] = self._buf[pos:pos + first]
+            if first < take:
+                out[first:] = self._buf[:take - first]
+            self._rd += take
+            self._nonempty.notify_all()  # wakes write_blocking producers
+            return out
+
     def close(self):
         """Producer EOF / shutdown: readers drain the remainder then get
         None."""

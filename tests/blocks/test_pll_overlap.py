@@ -150,3 +150,46 @@ def test_pll_exact_option_forces_sequential():
          jnp.float32((blk._freq_min + blk._freq_max) / 2)), jnp.asarray(x))
     assert np.array_equal(np.asarray(out_exact), np.asarray(out_seq))
     assert np.array_equal(np.asarray(err_exact), np.asarray(err_seq))
+
+
+def test_pll_pallas_phase_kernel_matches_oracle():
+    """The phase-domain Pallas kernel (interpret mode) must track the
+    float64 per-sample oracle: the detector wrap(theta - phi) is exactly
+    arg(x * conj(e^{j phi})), zero samples give err = 0 (reference arg(0)
+    convention), and the recorded output phases reconstruct the
+    multiplied oscillator."""
+    from luaradio_tpu.ops import pll as pll_mod
+    from luaradio_tpu.ops.pll import pll_pallas
+
+    alpha, beta, fmin, fmax = _bench_params()
+    # interpret mode executes the unrolled loop op-by-op: keep the vector
+    # and block size small (the TPU path runs the same code compiled)
+    n = 512
+    old_k = pll_mod._K
+    pll_mod._K = 128
+    cases = {
+        "noise": (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+                  ).astype(np.complex64),
+        "carrier": (0.7 * np.exp(1j * (2 * np.pi * 0.21 * np.arange(n)
+                                       + 0.9))).astype(np.complex64),
+        "zeros+carrier": np.concatenate([
+            np.zeros(128, np.complex64),
+            0.7 * np.exp(1j * 2 * np.pi * 0.21 * np.arange(n - 128))
+            .astype(np.complex64)]),
+    }
+    for name, x in cases.items():
+        for mult in (1.0, 3.0):
+            st = np.array([0.3, -0.5, (fmin + fmax) / 2], np.float32)
+            xp = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+            out, err, ns = pll_pallas(xp, jnp.asarray(st), alpha, beta,
+                                      fmin, fmax, mult, interpret=True)
+            oo, oe, ost = pll_oracle(x, st, alpha, beta, fmin, fmax, mult)
+            oz = np.asarray(out[0]) + 1j * np.asarray(out[1])
+            assert np.max(np.abs(np.asarray(err[0]) - oe)) < 1e-3, name
+            assert np.max(np.abs(oz - oo)) < 5e-2, (name, mult)
+            # final state: wrapped phases + clamped frequency
+            wrap = lambda p: np.angle(np.exp(1j * p))
+            got = np.asarray(ns)
+            assert abs(np.angle(np.exp(1j * (got[0] - ost[0])))) < 1e-3
+            assert abs(got[2] - np.float32(ost[2])) < 1e-5
+    pll_mod._K = old_k

@@ -1,0 +1,64 @@
+"""Real-time streaming CI (shortened bench_realtime): a wall-clock-paced
+fake rtlsdr at 2.4 MS/s must stream through the full rx_wbfm chain with
+zero steady-state ring overflows and non-growing latency — the reference's
+flagship live-SDR operation (rtlsdr.lua:214-266).  The 30 s artifact run
+on the TPU is REALTIME_r{N}.json (bench_realtime.py)."""
+
+import time
+
+import numpy as np
+
+import luaradio_tpu as lr
+
+import bench_realtime
+
+
+def test_realtime_wbfm_chain_short():
+    rec = bench_realtime.run_realtime(duration=4.0, grace=1.5,
+                                      chunk=1 << 17)
+    # the hard real-time evidence: no dropped USB buffers after startup
+    # and flat latency.  (real_time_margin is meaningful on the TPU
+    # artifact; on this 2-core CI host the unpaced burst contends with
+    # the reader thread, so it underestimates.)
+    assert rec["ring_overflows_steady_state"] == 0, rec
+    assert abs(rec["latency_slope_s_per_s"]) < 0.1, rec
+    assert rec["audio_samples_out"] > 2.0 * bench_realtime.AF_RATE, rec
+    assert rec["real_time_margin"] > 0.3, rec
+
+
+def test_throttle_block_paces_without_drift():
+    """ThrottleBlock's absolute schedule: total pacing time equals
+    samples/rate regardless of per-chunk timer jitter (the failure mode
+    the reference's adaptive usleep controller exists to bound,
+    throttle.lua:30-110), and the measured actual_rate telemetry lands on
+    target."""
+    blk = lr.ThrottleBlock(rate=200e3)
+    blk.differentiate([lr.types.Float32])
+    chunk = np.zeros(4096, np.float32)
+    n_chunks = 60                       # ~1.2 s of samples
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        blk.process(chunk)
+    elapsed = time.monotonic() - t0
+    expect = n_chunks * len(chunk) / 200e3
+    assert abs(elapsed - expect) < 0.12 * expect, (elapsed, expect)
+    assert blk.actual_rate is not None
+    assert abs(blk.actual_rate - 200e3) < 0.15 * 200e3
+
+
+def test_throttle_block_bounded_backlog():
+    """A stalled pump must re-anchor the schedule (bounded debt), not
+    burst the backlog unpaced afterwards."""
+    blk = lr.ThrottleBlock(rate=1e6)
+    blk.differentiate([lr.types.Float32])
+    chunk = np.zeros(1024, np.float32)
+    blk.process(chunk)
+    time.sleep(0.6)                     # simulate a long stall
+    blk.process(chunk)                  # re-anchors (debt > MAX_BACKLOG_S)
+    t0 = time.monotonic()
+    for _ in range(200):                # 0.2048 s of samples
+        blk.process(chunk)
+    elapsed = time.monotonic() - t0
+    # debt is capped at MAX_BACKLOG_S: the 200 chunks may absorb at most
+    # that much, never the full 0.6 s stall
+    assert elapsed > 0.2048 - lr.ThrottleBlock.MAX_BACKLOG_S - 0.02, elapsed

@@ -43,16 +43,23 @@ QUICK_TARGETS = ["tests/blocks/test_math.py", "tests/blocks/test_modem.py",
                  "tests/refparity/test_reference_protocol.py"]
 
 
-def run_config(name: str, targets, timeout: float = 3600.0) -> dict:
+def run_config(name: str, targets, timeout: float = 7200.0) -> dict:
     env = dict(os.environ)
     for cfg in CONFIGS.values():          # clear all knobs, then set ours
         for k in cfg:
             env.pop(k, None)
     env.update(CONFIGS[name])
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", *targets],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *targets],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"config": name, "env": CONFIGS[name], "rc": -1,
+                "passed": 0, "failed": 0,
+                "seconds": round(time.time() - t0, 1),
+                "tail": f"timed out after {timeout}s"}
     tail = (proc.stdout or "")[-4000:]
     m = re.search(r"(\d+) passed", tail)
     f = re.search(r"(\d+) failed", tail)
