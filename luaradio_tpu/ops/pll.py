@@ -46,6 +46,83 @@ _PI = np.float32(np.pi)
 _TWO_PI = np.float32(2 * np.pi)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-core math helpers (Mosaic has no atan/atan2 primitive).  Used by
+# the fused WBFM kernel (ops/wbfm_pallas.py); the phase-domain PLL below
+# no longer needs them in its loop (arg(x) moved to the VPU).
+# ---------------------------------------------------------------------------
+
+
+def _atan(x):
+    """float32 arctan via Cephes-style range reduction + odd polynomial
+    (Pallas TPU has no atan/atan2 primitive)."""
+    sign = jnp.where(x < 0, np.float32(-1.0), np.float32(1.0))
+    x = jnp.abs(x)
+    t3p8 = np.float32(2.414213562373095)   # tan(3*pi/8)
+    tp8 = np.float32(0.4142135623730950)   # tan(pi/8)
+    big = x > t3p8
+    mid = jnp.logical_and(x > tp8, jnp.logical_not(big))
+    y = jnp.where(big, np.float32(np.pi / 2),
+                  jnp.where(mid, np.float32(np.pi / 4), np.float32(0.0)))
+    safe = jnp.maximum(x, np.float32(1e-30))
+    xr = jnp.where(big, np.float32(-1.0) / safe,
+                   jnp.where(mid, (x - np.float32(1.0)) / (x + np.float32(1.0)),
+                             x))
+    z = xr * xr
+    p = ((np.float32(8.05374449538e-2) * z - np.float32(1.38776856032e-1))
+         * z + np.float32(1.99777106478e-1)) * z - np.float32(3.33329491539e-1)
+    r = xr + xr * z * p
+    return sign * (y + r)
+
+
+def _signbit(x):
+    """IEEE sign bit incl. -0, usable in BOTH Mosaic contexts: jnp.signbit's
+    bitcast lowering is vector-only, and the scalar fallback's select of
+    1/(+-0) = +-inf produces an i1 vector truncation Mosaic also rejects —
+    so dispatch on the trace-time rank."""
+    if getattr(x, "ndim", 0) == 0:
+        return jnp.where(x == 0, np.float32(1.0) / x < 0, x < 0)
+    return jnp.signbit(x)
+
+
+def _atan2(y, x):
+    """float32 atan2 built on :func:`_atan`.
+
+    IEEE-754 signed-zero semantics (atan2(+-0, -0) = +-pi, atan2(-0, x>0)
+    = -0, atan2(-0, x<0) = -pi) are preserved so the kernel agrees bit-wise
+    with XLA's arctan2 on cold-start all-zero histories, where products of
+    zeros carry data-dependent signs."""
+    pi = np.float32(np.pi)
+    safe_x = jnp.where(x == 0, np.float32(1e-30), x)
+    base = _atan(y / safe_x)
+    base = jnp.where(x < 0,
+                     jnp.where(_signbit(y), base - pi, base + pi), base)
+    # x == 0 column: +-pi/2 by the sign of y; +-pi / +-0 for y = +-0 by
+    # the sign bits of x and y
+    zz = jnp.where(_signbit(x), pi, np.float32(0.0))
+    zz = jnp.where(_signbit(y), -zz, zz)
+    v0 = jnp.where(y > 0, np.float32(np.pi / 2),
+                   jnp.where(y < 0, np.float32(-np.pi / 2), zz))
+    return jnp.where(x == 0, v0, base)
+
+
+def _sincos_small(d):
+    """Polynomial sin/cos for the per-sample phase increments (|d| < ~1.5
+    rad): keeps the hot loop free of transcendentals.  9th/8th order — the
+    multiplied output phase integrates open-loop, so per-step truncation
+    must stay below ~1e-9 to avoid coherent drift."""
+    d2 = d * d
+    s = d * (np.float32(1.0) + d2 * (np.float32(-1.0 / 6.0)
+             + d2 * (np.float32(1.0 / 120.0)
+             + d2 * (np.float32(-1.0 / 5040.0)
+             + d2 * np.float32(1.0 / 362880.0)))))
+    c = (np.float32(1.0) + d2 * (np.float32(-0.5)
+         + d2 * (np.float32(1.0 / 24.0)
+         + d2 * (np.float32(-1.0 / 720.0)
+         + d2 * np.float32(1.0 / 40320.0)))))
+    return s, c
+
+
 def _pll_phase_kernel(alpha, beta, fmin, fmax, mult, k, unroll,
                       state_ref, th_ref, phim_ref, err_ref, state_out_ref,
                       carry_ref):

@@ -122,9 +122,13 @@ def run_block(block, inputs, splits=None):
     for a, b in bounds:
         chunk_xs = [x[..., a:b] for x in arrs]
         # shard the whole-vector pass only: the uneven split passes would
-        # each compile a fresh shard_map program per chunk length
+        # each compile a fresh shard_map program per chunk length.  The
+        # PER-SHARD chunk must satisfy the block's chunk-multiple (the
+        # graph planner guarantees this: composite.py multiplies every
+        # constraint by the shard count).
         if _JIG_TIME_SHARD > 1 and (a, b) == (0, n) \
-                and n % _JIG_TIME_SHARD == 0 and n >= _JIG_TIME_SHARD:
+                and n % _JIG_TIME_SHARD == 0 and n >= _JIG_TIME_SHARD \
+                and (n // _JIG_TIME_SHARD) % cm == 0:
             try:
                 state, ys = _sharded_process(block, state, chunk_xs)
             except (NotImplementedError, ValueError, AssertionError,

@@ -33,3 +33,25 @@ def test_example_builds(path, monkeypatch, tmp_path):
     # validate the graph front half (flatten/topo/types/rates) without
     # running: hardware examples stop before initialize()
     from luaradio_tpu.core.composite import Graph  # noqa: F401
+
+
+def test_wideband_channelizer_bank_runs(monkeypatch, tmp_path):
+    """The channelizer-bank example EXECUTES end to end (its __main__ path,
+    which the build-only sweep above never enters): synthesized 16-channel
+    capture -> ChannelizerBlock -> banked WBFM -> per-channel audio, and
+    the carrier-bearing channels dominate the RMS ranking."""
+    import numpy as np
+    import runpy
+
+    path = EXAMPLES[[p.stem for p in EXAMPLES]
+                    .index("wideband_channelizer_bank")]
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [str(path)])
+    # __main__ with no args synthesizes /tmp/wideband.iq and runs the graph
+    mod = runpy.run_path(str(path), run_name="__main__")
+    audio = np.concatenate(mod["sink"].chunks, axis=-1)
+    assert audio.shape[0] == 16
+    assert audio.shape[1] > 10000
+    rms = np.sqrt((audio ** 2).mean(axis=-1))
+    active = set(np.argsort(rms)[::-1][:4])
+    assert active == {1, 3, 7, 12}, active
