@@ -164,6 +164,47 @@ class RtlSdrSource(_ReaderThreadSource):
 
     LIBRARY_NAMES = ("rtlsdr",)
     _READ_BYTES = 1 << 17  # 64k complex samples per USB read
+    _wire_factor = 2       # u8 wire items (I, Q bytes) per complex sample
+
+    def _make_ring(self):
+        # the ring stores RAW u8 wire bytes: the reader thread does no
+        # conversion, and when every consumer is a device block only the
+        # 2 bytes/sample wire stream crosses the host->device link (the
+        # VPU converts — HostSourceBlock wire ingest contract).  The
+        # reference converts per sample on the host inside the USB
+        # callback (rtlsdr.lua:224-232).
+        cap = max(int(self.rate * self.RING_SECONDS), 1 << 18)
+        self.ring = SampleRingBuffer(2 * cap, np.uint8)
+        return self.ring
+
+    def read(self, n: int):
+        """Host-side complex samples (host consumers / eager mode)."""
+        wr = self.wire_read(n)
+        if wr is None:
+            return None
+        raw, _count = wr
+        f = (raw.astype(np.float32) - np.float32(127.5)) \
+            * np.float32(1.0 / 127.5)
+        return f.view(np.complex64)
+
+    def wire_read(self, n: int):
+        """Raw interleaved u8 wire bytes as (array, n_complex_valid)."""
+        raw = self.ring.read_exact(2 * n, timeout=self.READ_TIMEOUT)
+        if raw is None or len(raw) < 2:
+            return None
+        raw = raw[:len(raw) & ~1]
+        return raw, len(raw) // 2
+
+    def device_ingest(self):
+        # (u8 - 127.5) / 127.5 is exact in float32: identical to the
+        # host conversion bit for bit
+        offset = np.float32(127.5)
+        scale = np.float32(1.0 / 127.5)
+
+        def ingest(raw):
+            import jax.numpy as jnp
+            return (raw.astype(jnp.float32) - offset) * scale
+        return ingest
 
     def initialize(self):
         lib = self._require_library()
@@ -196,11 +237,10 @@ class RtlSdrSource(_ReaderThreadSource):
                                        self._READ_BYTES, byref(got))
         if r != 0 or got.value <= 0:
             return None
-        raw = np.frombuffer(self._buf, dtype=np.uint8,
-                            count=got.value & ~1).astype(np.float32)
-        iq = (raw - 127.5) * np.float32(1.0 / 127.5)
-        return iq.view(np.complex64) if iq.flags["C_CONTIGUOUS"] \
-            else (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+        # raw u8 wire bytes into the ring; conversion happens on the
+        # device (wire ingest) or lazily in read() for host consumers
+        return np.frombuffer(self._buf, dtype=np.uint8,
+                             count=got.value & ~1).copy()
 
     def cleanup(self):
         if self._stop_reader() and getattr(self, "_dev", None):

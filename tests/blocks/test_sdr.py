@@ -945,3 +945,35 @@ def test_ringbuffer_write_blocking_backpressure():
                        ).astype(np.complex64))
     rb.close()
     assert not rb.write_blocking(np.ones(4, np.complex64))
+
+
+def test_rtlsdr_wire_ingest_matches_host_conversion(tmp_path):
+    """RtlSdrSource ships raw u8 wire bytes when every consumer is a
+    device block: the on-device (u8 - 127.5)/127.5 conversion is bit-
+    identical to the host path, 2 bytes/sample on the link instead of 8."""
+    import luaradio_tpu as lr
+    from luaradio_tpu.blocks.sources.sdr import RtlSdrSource
+    from luaradio_tpu.core.runtime import Runner
+
+    outs = {}
+    data = np.random.default_rng(123).integers(
+        0, 256, 2 * 4 * (1 << 16)).astype(np.uint8)
+    for ingest in ("wire", "stream"):
+        fake = FakeRtlSdr(n_reads=4)
+        fake.data = data                     # identical stream both runs
+        RtlSdrSource._injected_lib = fake
+        try:
+            src = RtlSdrSource(104.3e6, 2.4e6)
+            out = str(tmp_path / f"{ingest}.iq")
+            top = lr.CompositeBlock()
+            top.connect(src, lr.MultiplyConstantBlock(2.0),
+                        lr.IQFileSink(out, "f32le"))
+            r = Runner(top, mode="fused", chunk_size=1 << 14, ingest=ingest)
+            assert (len(r._wire_srcs) == 1) == (ingest == "wire")
+            r.run()
+            outs[ingest] = np.fromfile(out, dtype=np.complex64)
+        finally:
+            RtlSdrSource._injected_lib = None
+    assert outs["wire"].shape == outs["stream"].shape
+    assert outs["wire"].size >= 3 * (1 << 14)
+    assert np.array_equal(outs["wire"], outs["stream"])
