@@ -191,8 +191,10 @@ class ThrottleBlock(HostBlock):
         if delay > 0:
             time.sleep(delay)
         elif -delay > self.MAX_BACKLOG_S:
-            # stalled pump: re-anchor instead of bursting the debt
-            self._t0 = now - (self._sent / rate) + self.MAX_BACKLOG_S
+            # stalled pump: cap the accumulated debt at MAX_BACKLOG_S
+            # (schedule re-anchored to "now minus the allowed backlog"),
+            # so recovery bursts at most that much before pacing resumes
+            self._t0 = now - (self._sent / rate) - self.MAX_BACKLOG_S
         t = time.monotonic()
         if t - self._adj_t >= self.ADJUST_PERIOD_S:
             self.actual_rate = self._adj_sent / (t - self._adj_t)

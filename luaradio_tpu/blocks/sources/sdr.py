@@ -85,21 +85,80 @@ class _SDRSourceBase(HostSourceBlock):
                 f"driver or use a file/network source")
         return lib
 
+    #: drivers whose ring stores RAW integer wire items set offset/scale/
+    #: dtype (float = (raw - offset) * scale, exact in float32 — the same
+    #: contract files.py applies to captures): the shared plumbing below
+    #: then provides read()/wire_read()/device_ingest(), so only the
+    #: 1-2 byte wire items cross the host->device link when every
+    #: consumer is a device block.
+    _wire_offset: float | None = None
+    _wire_scale: float | None = None
+    _wire_dtype = np.uint8
+    _wire_factor = 2          # wire items (I, Q) per complex sample
+
     def _make_ring(self):
         cap = max(int(self.rate * self.RING_SECONDS), 1 << 18)
-        self.ring = SampleRingBuffer(cap, np.complex64)
+        if self._wire_offset is not None:
+            self.ring = SampleRingBuffer(self._wire_factor * cap,
+                                         self._wire_dtype)
+        else:
+            self.ring = SampleRingBuffer(cap, np.complex64)
         return self.ring
 
-    def read(self, n: int):
-        """A full n-sample chunk from the ring (blocking while the radio
-        fills it in real time — a short mid-stream read would be misread
-        as EOF by the static-chunk runtime); the final partial chunk at
+    def _ring_read(self, items: int):
+        """Exactly `items` ring items, blocking while the radio produces
+        them in real time (a short mid-stream read would be misread as
+        EOF by the static-chunk runtime); the final partial batch at
         stream close, then None at EOF; None too on a stalled producer
-        (READ_TIMEOUT with no data — dead hardware)."""
-        out = self.ring.read_exact(n, timeout=self.READ_TIMEOUT)
+        (timeout with no data — dead hardware).  The timeout scales with
+        the chunk's real-time duration so big chunks at low rates are
+        not misread as stalls."""
+        if items > self.ring.capacity:
+            raise ValueError(
+                f"{self.name}: a chunk needs {items} ring items but the "
+                f"ring holds {self.ring.capacity}; increase RING_SECONDS "
+                f"or reduce chunk_size")
+        per_s = self.rate * (self._wire_factor
+                             if self._wire_offset is not None else 1)
+        timeout = max(self.READ_TIMEOUT, 2.0 * items / per_s)
+        out = self.ring.read_exact(items, timeout=timeout)
         if out is None or len(out) == 0:
             return None
         return out
+
+    def read(self, n: int):
+        """A full n-sample complex chunk (host consumers / eager mode)."""
+        if self._wire_offset is None:
+            return self._ring_read(n)
+        wr = self.wire_read(n)
+        if wr is None:
+            return None
+        raw, _count = wr
+        f = (raw.astype(np.float32) - np.float32(self._wire_offset)) \
+            * np.float32(self._wire_scale)
+        return f.view(np.complex64)
+
+    def wire_read(self, n: int):
+        """Raw interleaved wire items as (array, n_complex_valid)."""
+        k = self._wire_factor
+        raw = self._ring_read(k * n)
+        if raw is None:
+            return None
+        raw = raw[:len(raw) - (len(raw) % k)]
+        if len(raw) == 0:
+            return None
+        return raw, len(raw) // k
+
+    def device_ingest(self):
+        if self._wire_offset is None:
+            return None
+        offset = np.float32(self._wire_offset)
+        scale = np.float32(self._wire_scale)
+
+        def ingest(raw):
+            import jax.numpy as jnp
+            return (raw.astype(jnp.float32) - offset) * scale
+        return ingest
 
 
 class _ReaderThreadSource(_SDRSourceBase):
@@ -164,47 +223,14 @@ class RtlSdrSource(_ReaderThreadSource):
 
     LIBRARY_NAMES = ("rtlsdr",)
     _READ_BYTES = 1 << 17  # 64k complex samples per USB read
-    _wire_factor = 2       # u8 wire items (I, Q bytes) per complex sample
-
-    def _make_ring(self):
-        # the ring stores RAW u8 wire bytes: the reader thread does no
-        # conversion, and when every consumer is a device block only the
-        # 2 bytes/sample wire stream crosses the host->device link (the
-        # VPU converts — HostSourceBlock wire ingest contract).  The
-        # reference converts per sample on the host inside the USB
-        # callback (rtlsdr.lua:224-232).
-        cap = max(int(self.rate * self.RING_SECONDS), 1 << 18)
-        self.ring = SampleRingBuffer(2 * cap, np.uint8)
-        return self.ring
-
-    def read(self, n: int):
-        """Host-side complex samples (host consumers / eager mode)."""
-        wr = self.wire_read(n)
-        if wr is None:
-            return None
-        raw, _count = wr
-        f = (raw.astype(np.float32) - np.float32(127.5)) \
-            * np.float32(1.0 / 127.5)
-        return f.view(np.complex64)
-
-    def wire_read(self, n: int):
-        """Raw interleaved u8 wire bytes as (array, n_complex_valid)."""
-        raw = self.ring.read_exact(2 * n, timeout=self.READ_TIMEOUT)
-        if raw is None or len(raw) < 2:
-            return None
-        raw = raw[:len(raw) & ~1]
-        return raw, len(raw) // 2
-
-    def device_ingest(self):
-        # (u8 - 127.5) / 127.5 is exact in float32: identical to the
-        # host conversion bit for bit
-        offset = np.float32(127.5)
-        scale = np.float32(1.0 / 127.5)
-
-        def ingest(raw):
-            import jax.numpy as jnp
-            return (raw.astype(jnp.float32) - offset) * scale
-        return ingest
+    # raw u8 wire ring: the reader thread does no conversion, and only
+    # 2 bytes/sample cross the host->device link when every consumer is
+    # a device block (the VPU applies the identical (u8-127.5)/127.5 —
+    # the reference converts per sample on the host in the USB callback,
+    # rtlsdr.lua:224-232)
+    _wire_offset = 127.5
+    _wire_scale = 1.0 / 127.5
+    _wire_dtype = np.uint8
 
     def initialize(self):
         lib = self._require_library()
@@ -592,15 +618,21 @@ class BladeRFSource(_ReaderThreadSource):
         self._make_ring()
         self._start_reader()
 
+    # raw SC16_Q11 wire ring: 4 bytes/sample on the host->device link
+    # instead of 8, converted on the VPU (11 fractional bits, exact in
+    # float32)
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 2048.0
+    _wire_dtype = np.int16
+
     def _read_hw(self):
         r = self._lib.bladerf_sync_rx(self._dev, self._buf,
                                       c_uint32(self._SYNC_SAMPLES), None,
                                       c_uint32(1000))
         if r != 0:
             return None
-        raw = np.frombuffer(self._buf, dtype=np.int16).astype(np.float32)
-        iq = raw * np.float32(1.0 / 2048.0)  # SC16_Q11: 11 fractional bits
-        return iq.view(np.complex64)
+        return np.frombuffer(self._buf, dtype=np.int16,
+                             count=2 * self._SYNC_SAMPLES).copy()
 
     def cleanup(self):
         if self._stop_reader() and getattr(self, "_dev", None):

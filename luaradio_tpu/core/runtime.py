@@ -180,7 +180,11 @@ class Segment:
             mesh is not None and time_axis is not None) else 1
 
         #: the ext entries _run_segment actually sends: resident keys are
-        #: replaced by their ring + window-start scalars
+        #: replaced by their ring + window-start scalars.  Only resident
+        #: sources THIS segment consumes — other segments of a multi-stage
+        #: graph must not bind and slice rings they never read.
+        res = {k: v for k, v in res.items() if k in self.ext_keys}
+        self.resident_ingest = res
         self.ext_transfer_keys = (
             [k for k in self.ext_keys if k not in res]
             + [k + sfx for k in res for sfx in ("#buf", "#start")])
@@ -658,7 +662,8 @@ class Runner:
                     f"device-side wire conversion (32-bit/float formats "
                     f"convert on the host)")
             if (mode == "fused" and (mesh is None or res_mesh_ok)
-                    and force != "stream" and len(s.outputs) == 1
+                    and force not in ("stream", "wire")
+                    and len(s.outputs) == 1
                     and getattr(s, "repeat_on_eof", False)
                     and hasattr(s, "resident_setup")
                     and s.resident_setup(g.out_chunk[id(s)])):

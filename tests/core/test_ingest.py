@@ -308,3 +308,17 @@ def test_ingest_mode_forcing_errors(tmp_path):
                                      repeat_on_eof=True), tmp_path / "o3.iq")
     r = Runner(top, mode="fused", chunk_size=128, ingest="stream")
     assert not r._resident_srcs and not r._wire_srcs
+
+
+def test_ingest_wire_forced_wins_over_resident(tmp_path):
+    """ingest='wire' must keep the wire path even for a repeating file the
+    auto policy would promote to a device-resident ring (round-4 review:
+    the forced-mode contract was silently overridden)."""
+    raw = RNG.integers(0, 256, 2 * 2048, dtype=np.uint8)
+    path = str(tmp_path / "loop.iq")
+    raw.tofile(path)
+    top = _run_graph(lr.IQFileSource(path, "u8", 1e6, repeat_on_eof=True),
+                     tmp_path / "o.iq")
+    r = Runner(top, mode="fused", chunk_size=512, ingest="wire")
+    assert r._wire_srcs and not r._resident_srcs
+    r.run(max_chunks=4)

@@ -47,18 +47,25 @@ def test_throttle_block_paces_without_drift():
 
 
 def test_throttle_block_bounded_backlog():
-    """A stalled pump must re-anchor the schedule (bounded debt), not
-    burst the backlog unpaced afterwards."""
+    """A stalled pump must cap the schedule debt at MAX_BACKLOG_S: the
+    recovery may burst at most that much, then resumes paced output — it
+    neither bursts the whole stall (no re-anchor) nor inserts an extra
+    recovery gap (the round-4 review's sign bug)."""
     blk = lr.ThrottleBlock(rate=1e6)
     blk.differentiate([lr.types.Float32])
     chunk = np.zeros(1024, np.float32)
     blk.process(chunk)
-    time.sleep(0.6)                     # simulate a long stall
-    blk.process(chunk)                  # re-anchors (debt > MAX_BACKLOG_S)
+    time.sleep(0.6)                     # stall >> MAX_BACKLOG_S (0.25)
+    blk.process(chunk)                  # caps the debt
     t0 = time.monotonic()
-    for _ in range(200):                # 0.2048 s of samples
+    n = 500                             # 0.512 s of samples
+    for _ in range(n):
         blk.process(chunk)
     elapsed = time.monotonic() - t0
-    # debt is capped at MAX_BACKLOG_S: the 200 chunks may absorb at most
-    # that much, never the full 0.6 s stall
-    assert elapsed > 0.2048 - lr.ThrottleBlock.MAX_BACKLOG_S - 0.02, elapsed
+    dur = n * len(chunk) / 1e6
+    cap = lr.ThrottleBlock.MAX_BACKLOG_S
+    # burst absorbs exactly the capped debt: elapsed ~ dur - cap.
+    # No re-anchor would give ~0 (0.6 s debt > dur); the sign bug gave
+    # ~dur + cap.
+    assert elapsed > dur - cap - 0.05, (elapsed, dur)
+    assert elapsed < dur - cap + 0.15, (elapsed, dur)
