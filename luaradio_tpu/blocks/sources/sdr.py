@@ -298,6 +298,11 @@ class HackRFSource(_SDRSourceBase):
     round-down from rate), rf_amplifier_enable, antenna_power_enable."""
 
     LIBRARY_NAMES = ("hackrf",)
+    # raw s8 wire ring: 2 bytes/sample on the host->device link, VPU
+    # applies the reference's s8 * (1/127.5) (hackrf.lua:244-245)
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 127.5
+    _wire_dtype = np.int8
 
     def initialize(self):
         lib = self._require_library()
@@ -329,17 +334,16 @@ class HackRFSource(_SDRSourceBase):
         lib.hackrf_set_freq(dev, c_uint64(int(self.frequency)))
 
         ring = self._make_ring()
-        scale = np.float32(1.0 / 127.5)
 
         def on_rx(transfer_ptr):
-            # vendor USB thread: convert s8 interleaved IQ -> complex64
+            # vendor USB thread: raw s8 interleaved IQ straight into the
+            # wire ring (conversion on-device, or lazily in read())
             t = transfer_ptr.contents
             n = t.valid_length & ~1
             if n <= 0:
                 return 0
             raw = np.ctypeslib.as_array(t.buffer, shape=(n,))
-            iq = raw.view(np.int8).astype(np.float32) * scale
-            ring.write(iq.view(np.complex64))
+            ring.write(raw.view(np.int8).copy())
             return 0  # continue streaming
 
         self._cb = _HACKRF_CB(on_rx)  # keep a ref: prevents GC
