@@ -483,7 +483,7 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
         virtual sequence state ++ phis, with the carried-state prefix
         entering shard 0 as the delay halo."""
         from luaradio_tpu.parallel.time import (cumsum_sharded, delay_sharded,
-                                                ring_halo)
+                                                ring_halo, shard0_state)
         interval = self.sample_interval
         num = self.num_samples
         n = x.shape[-1]
@@ -510,7 +510,7 @@ class BinaryPhaseCorrectorBlock(SignalBlock):
         # the carried phi window is read on shard 0 only (the delay
         # carry): a circular ppermute lands the global tail there —
         # point-to-point instead of an all_gather of num*D phases
-        new_state = ring_halo(phi, num, axis_name)
+        new_state = shard0_state(ring_halo(phi, num, axis_name), axis_name)
         return new_state, y.astype(jnp.complex64)
 
 

@@ -134,12 +134,12 @@ class DifferentialDecoderBlock(SignalBlock):
         # one circular halo: previous bit for interior shards, global tail
         # (= next chunk's carry, read on shard 0 only) for shard 0
         from jax import lax
-        from luaradio_tpu.parallel.time import ring_halo
+        from luaradio_tpu.parallel.time import ring_halo, shard0_state
         idx = lax.axis_index(axis_name)
         recv = ring_halo(x, 1, axis_name)[..., 0]
         prev = jnp.where(idx == 0, state, recv)
         _, y = self.process(prev, x)
-        return recv, y
+        return shard0_state(recv, axis_name), y
 
 
 class ManchesterDecoderBlock(HostBlock):

@@ -84,12 +84,12 @@ class FrequencyDiscriminatorBlock(SignalBlock):
         # shard 0 receives the global tail = next chunk's carry, so no
         # end-of-chunk all_gather is needed (state is read on shard 0 only)
         from jax import lax
-        from luaradio_tpu.parallel.time import ring_halo
+        from luaradio_tpu.parallel.time import ring_halo, shard0_state
         idx = lax.axis_index(axis_name)
         recv = ring_halo(x, 1, axis_name)[..., 0]
         prev = jnp.where(idx == 0, state, recv)
         _, y = self.process(prev, x)
-        return recv, y
+        return shard0_state(recv, axis_name), y
 
 
 class FrequencyModulatorBlock(SignalBlock):

@@ -123,7 +123,20 @@ class _SDRSourceBase(HostSourceBlock):
         timeout = max(self.READ_TIMEOUT, 2.0 * items / per_s)
         out = self.ring.read_exact(items, timeout=timeout)
         if out is None or len(out) == 0:
+            if out is not None and not self.ring.closed:
+                import warnings
+                warnings.warn(
+                    f"{self.name}: no samples for {timeout:.1f}s (stalled "
+                    f"producer); treating the stream as ended",
+                    RuntimeWarning, stacklevel=3)
             return None
+        if len(out) < items and not self.ring.closed:
+            import warnings
+            warnings.warn(
+                f"{self.name}: producer stalled mid-chunk ({len(out)}/"
+                f"{items} ring items after a {timeout:.1f}s no-progress "
+                f"window); treating the partial chunk as end of stream",
+                RuntimeWarning, stacklevel=3)
         return out
 
     def read(self, n: int):
@@ -376,10 +389,17 @@ class _airspy_transfer(ctypes.Structure):
 
 _AIRSPY_CB = CFUNCTYPE(c_int, POINTER(_airspy_transfer))
 _AIRSPY_SAMPLE_FLOAT32_IQ = 0
+_AIRSPY_SAMPLE_INT16_IQ = 2
 
 
 class AirspySource(_SDRSourceBase):
     """Airspy R2/Mini source (reference: airspy.lua:1-375).
+
+    Streams INT16_IQ and converts on-device: libairspy shifts its 12-bit
+    samples to full 16-bit scale, so s16 * (1/32768) is numerically the
+    same stream the reference receives via FLOAT32_IQ — at 4 bytes/sample
+    on the host->device link instead of 8 (the reference converts nothing
+    because the library hands it floats; here the link is the bottleneck).
 
     Options: gain_mode ("linearity"|"sensitivity"|"custom", default
     "linearity"), linearity_gain / sensitivity_gain (0..21, default 10),
@@ -390,6 +410,10 @@ class AirspySource(_SDRSourceBase):
     _PREFIX = "airspy"
     _TRANSFER = _airspy_transfer
     _CBTYPE = _AIRSPY_CB
+    # raw s16 wire ring (INT16_IQ): float = s16 * 2^-15, exact in float32
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 32768.0
+    _wire_dtype = np.int16
 
     def _call(self, fname, *args):
         fn = getattr(self._lib, f"{self._PREFIX}_{fname}")
@@ -425,7 +449,7 @@ class AirspySource(_SDRSourceBase):
         dev = c_void_p()
         self._call("open", byref(dev))
         self._dev = dev
-        self._call("set_sample_type", dev, c_int(_AIRSPY_SAMPLE_FLOAT32_IQ))
+        self._call("set_sample_type", dev, c_int(_AIRSPY_SAMPLE_INT16_IQ))
         self._call("set_samplerate", dev, c_uint32(int(self.rate)))
         self._configure_gains(dev)
         if self.options.get("biastee_enable"):
@@ -438,10 +462,11 @@ class AirspySource(_SDRSourceBase):
             t = transfer_ptr.contents
             n = t.sample_count
             if n > 0 and t.samples:
-                # float32 interleaved IQ straight from the driver
-                buf = ctypes.cast(t.samples, POINTER(ctypes.c_float * (2 * n)))
-                iq = np.frombuffer(buf.contents, dtype=np.float32).copy()
-                ring.write(iq.view(np.complex64))
+                # raw s16 interleaved IQ into the wire ring; conversion
+                # happens on-device (wire ingest) or lazily in read()
+                buf = ctypes.cast(t.samples, POINTER(c_int16 * (2 * n)))
+                iq = np.frombuffer(buf.contents, dtype=np.int16).copy()
+                ring.write(iq)
             if t.dropped_samples:
                 ring.dropped_samples += int(t.dropped_samples)
             return 0
@@ -494,6 +519,11 @@ _AIRSPYHF_CB = CFUNCTYPE(c_int, POINTER(_airspyhf_transfer))
 
 class AirspyHFSource(_SDRSourceBase):
     """Airspy HF+ source (reference: airspyhf.lua:1-315).
+
+    No wire-ingest path: libairspyhf's only sample format is float32 IQ
+    (its DDC runs in float), so the "wire" bytes ARE the payload bytes —
+    the interleaved-float32 boundary payload already crosses the link
+    zero-copy, and this source remains eligible for resident ingest only.
 
     Options: hf_agc (default True), hf_agc_threshold ("low"|"high"),
     hf_att (0..48 dB in 6 dB steps, manual attenuation), hf_lna (bool)."""
@@ -698,6 +728,14 @@ class UHDSource(_ReaderThreadSource):
 
     LIBRARY_NAMES = ("uhd",)
     _RECV_SAMPLES = 1 << 16
+    # raw sc16 wire ring: cpu_format "sc16" skips UHD's own host-side
+    # sc16->fc32 conversion AND halves->quarters the link bytes; the VPU
+    # applies UHD's converter scale, s16 * (1/32767) (the reference asks
+    # UHD for fc32 with otw sc16 and gets the identical stream,
+    # uhd.lua stream_args)
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 32767.0
+    _wire_dtype = np.int16
 
     def __init__(self, device: str, frequency: float, rate: float, **options):
         super().__init__(frequency, rate, **options)
@@ -772,7 +810,7 @@ class UHDSource(_ReaderThreadSource):
                     lib.uhd_rx_streamer_make(byref(rx)))
         self._rx = rx
         chans = (c_size_t * 1)(ch.value)
-        sargs = _uhd_stream_args(cpu_format=b"fc32", otw_format=b"sc16",
+        sargs = _uhd_stream_args(cpu_format=b"sc16", otw_format=b"sc16",
                                  args=b"", channel_list=chans, n_channels=1)
         self._check("uhd_usrp_get_rx_stream",
                     lib.uhd_usrp_get_rx_stream(usrp, byref(sargs), rx))
@@ -786,7 +824,7 @@ class UHDSource(_ReaderThreadSource):
         self._check("uhd_rx_streamer_issue_stream_cmd",
                     lib.uhd_rx_streamer_issue_stream_cmd(rx, byref(cmd)))
 
-        self._buf = np.zeros(self._RECV_SAMPLES, dtype=np.complex64)
+        self._buf = np.zeros(2 * self._RECV_SAMPLES, dtype=np.int16)
         self._buf_ptr = (c_void_p * 1)(self._buf.ctypes.data)
         self._make_ring()
         self._start_reader()
@@ -799,8 +837,8 @@ class UHDSource(_ReaderThreadSource):
         if r != 0:
             return None
         if got.value == 0:
-            return np.empty(0, np.complex64)
-        return self._buf[:got.value].copy()
+            return np.empty(0, np.int16)
+        return self._buf[:2 * got.value].copy()
 
     def cleanup(self):
         if not self._stop_reader():
@@ -956,6 +994,13 @@ class SDRplaySource(_SDRSourceBase):
     dc_correction (bool), iq_correction (bool), freq_correction (ppm)."""
 
     LIBRARY_NAMES = ("sdrplay_api", "mirsdrapi-rsp")
+    # raw s16 wire ring: the stream callback interleaves the API's split
+    # xi/xq buffers (cheap int16 copy, no float math on the USB thread);
+    # the VPU applies the reference's s16 * (1/32767.5)
+    # (sdrplay.lua per-sample host conversion)
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 32767.5
+    _wire_dtype = np.int16
 
     def initialize(self):
         lib = self._require_library()
@@ -979,15 +1024,15 @@ class SDRplaySource(_SDRSourceBase):
             raise RuntimeError(f"sdrplay_api_SelectDevice() failed ({r})")
 
         ring = self._make_ring()
-        scale = np.float32(1.0 / 32767.5)  # reference sdrplay.lua scaling
 
         def on_stream(xi, xq, params_ptr, num, reset, ctx):
             n = int(num)
             if n <= 0:
                 return
-            ii = np.ctypeslib.as_array(xi, shape=(n,)).astype(np.float32)
-            qq = np.ctypeslib.as_array(xq, shape=(n,)).astype(np.float32)
-            ring.write(((ii + 1j * qq) * scale).astype(np.complex64))
+            raw = np.empty(2 * n, np.int16)
+            raw[0::2] = np.ctypeslib.as_array(xi, shape=(n,))
+            raw[1::2] = np.ctypeslib.as_array(xq, shape=(n,))
+            ring.write(raw)
 
         def on_event(event_id, tuner, params, ctx):
             return None
@@ -1076,9 +1121,17 @@ class SDRplaySource(_SDRSourceBase):
 class SoapySDRSource(_ReaderThreadSource):
     """Generic SoapySDR source covering most vendor hardware through one
     API (reference: soapysdr.lua:1-542).  Uses the SoapySDR Python bindings
-    when installed, else raises."""
+    when installed, else raises.
+
+    Streams CS16 and converts on-device: SoapySDR's own CS16->CF32
+    converter primitive scales by 1/32767, so s16 * (1/32767) is the
+    identical stream the reference receives via CF32 — at 4 bytes/sample
+    on the host->device link instead of 8."""
 
     LIBRARY_NAMES = ("SoapySDR",)
+    _wire_offset = 0.0
+    _wire_scale = 1.0 / 32767.0
+    _wire_dtype = np.int16
 
     def __init__(self, uri: str, frequency: float, rate: float, **options):
         super().__init__(frequency, rate, **options)
@@ -1087,7 +1140,7 @@ class SoapySDRSource(_ReaderThreadSource):
     def initialize(self):
         try:
             import SoapySDR  # noqa: F401
-            from SoapySDR import SOAPY_SDR_CF32, SOAPY_SDR_RX
+            from SoapySDR import SOAPY_SDR_CS16, SOAPY_SDR_RX
         except ImportError as e:
             raise RuntimeError(
                 f"{self.name}: SoapySDR Python bindings not installed") from e
@@ -1099,9 +1152,9 @@ class SoapySDRSource(_ReaderThreadSource):
             self._dev.writeSetting(key, value)
         if "gain" in self.options:
             self._dev.setGain(SOAPY_SDR_RX, 0, self.options["gain"])
-        self._stream = self._dev.setupStream(SOAPY_SDR_RX, SOAPY_SDR_CF32)
+        self._stream = self._dev.setupStream(SOAPY_SDR_RX, SOAPY_SDR_CS16)
         self._dev.activateStream(self._stream)
-        self._buf = np.zeros(1 << 16, dtype=np.complex64)
+        self._buf = np.zeros((1 << 16, 2), dtype=np.int16)
         self._make_ring()
         self._start_reader()
 
@@ -1110,8 +1163,8 @@ class SoapySDRSource(_ReaderThreadSource):
         if sr.ret < 0:
             return None
         if sr.ret == 0:
-            return np.empty(0, np.complex64)
-        return self._buf[:sr.ret].copy()
+            return np.empty(0, np.int16)
+        return self._buf[:sr.ret].reshape(-1).copy()
 
     def cleanup(self):
         if not self._stop_reader():

@@ -91,7 +91,9 @@ def main(argv=None) -> int:
     import os
     if ns.ingest:
         os.environ["LUARADIO_TPU_INGEST"] = ns.ingest
-    if ns.ingest_stripes:
+    if ns.ingest_stripes is not None:
+        if ns.ingest_stripes < 1:
+            parser.error("--ingest-stripes must be >= 1")
         os.environ["LUARADIO_TPU_STRIPES"] = str(ns.ingest_stripes)
 
     if ns.version:

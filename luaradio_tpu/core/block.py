@@ -278,7 +278,7 @@ class SignalBlock(Block):
         if self.tail_state and len(xs) == 1:
             import jax.numpy as jnp
             from jax import lax
-            from luaradio_tpu.parallel.time import ring_halo
+            from luaradio_tpu.parallel.time import ring_halo, shard0_state
 
             x = xs[0]
             k = state.shape[-1]
@@ -290,7 +290,7 @@ class SignalBlock(Block):
             idx = lax.axis_index(axis_name)
             local = jnp.where(idx == 0, state, recv)
             _, y = self.process(local, x)
-            return recv, y
+            return shard0_state(recv, axis_name), y
         raise NotImplementedError(
             f"{self.name} does not support time-axis sharding; use channel "
             f"banking (mesh with a 'channel' axis) for this graph")

@@ -26,6 +26,30 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def shard0_state(state, axis_name: str):
+    """Centralize the carried-state invariant for sharded blocks.
+
+    Blocks that return a ring_halo-derived state emit PER-SHARD-DIVERGENT
+    values under a nominally replicated out_spec: only shard 0's copy (the
+    global stream tail) is the true next-chunk carry, and the runtime reads
+    carried state off shard 0 only (Segment.fn's shard_map runs with the
+    replication checker off, and jax materializes the P() output from the
+    first shard).  Every such block routes its returned state through this
+    helper so the invariant lives in ONE place.
+
+    With ``LUARADIO_TPU_REPLICATE_SHARDED_STATE=1`` the state is instead
+    genuinely replicated — every shard takes shard 0's copy via one
+    all_gather — so any consumer (a future JAX that re-canonicalizes
+    replicated outputs, checkpointing, a host fetch from a non-zero shard)
+    reads the true carry.  tests/parallel/test_time_runner.py asserts the
+    two modes produce bit-identical streams.
+    """
+    import os
+    if not os.environ.get("LUARADIO_TPU_REPLICATE_SHARDED_STATE"):
+        return state
+    return jax.tree.map(lambda l: lax.all_gather(l, axis_name)[0], state)
+
+
 def left_halo(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     """The last k samples of the LEFT neighbor's shard (zeros on device 0) —
     exactly the FIR tail the reference carries across process() calls
@@ -197,7 +221,8 @@ def cumsum_sharded(x: jnp.ndarray, axis_name: str,
     return y
 
 
-__all__ = ["left_halo", "fir_sharded", "fir_fft_sharded", "pll_linear_sharded",
+__all__ = ["left_halo", "shard0_state", "fir_sharded", "fir_fft_sharded",
+           "pll_linear_sharded",
            "discriminator_sharded", "linrec_first_order_sharded",
            "cummax_sharded", "cumsum_sharded", "delay_sharded",
            "pilot_recovery_sharded"]

@@ -117,13 +117,21 @@ class SampleRingBuffer:
         the live-streaming contract: a paced radio fills the ring in real
         time and a short read mid-stream would be misread as EOF by the
         static-chunk runtime.  At close the remaining (< n) samples are
-        returned, then None (EOF).  On timeout (stalled producer — dead
-        hardware or a paused stream) whatever is available is returned,
-        possibly empty — the pre-round-4 drain semantics."""
+        returned, then None (EOF).  ``timeout`` is a NO-PROGRESS timeout:
+        while the producer keeps delivering samples (a radio sustainedly
+        below the nominal rate — driver round-down, USB contention) the
+        wait restarts, so only a genuinely stalled producer (dead
+        hardware, paused stream) returns short — whatever is available,
+        possibly empty."""
         with self._nonempty:
-            self._nonempty.wait_for(
-                lambda: self._closed or (self._wr - self._rd) >= n,
-                timeout=timeout)
+            while True:
+                wr_before = self._wr
+                if self._nonempty.wait_for(
+                        lambda: self._closed or (self._wr - self._rd) >= n,
+                        timeout=timeout):
+                    break
+                if self._wr == wr_before:
+                    break  # true stall: no samples in a full window
             avail = self._wr - self._rd
             if avail == 0:
                 if self._closed:

@@ -182,7 +182,8 @@ def test_hackrf_source_streams_and_converts():
 
 
 class FakeAirspy:
-    """In-process libairspy: float32 IQ callback stream."""
+    """In-process libairspy: INT16_IQ callback stream (libairspy shifts
+    its 12-bit samples to full 16-bit scale)."""
 
     PREFIX = "airspy"
 
@@ -190,8 +191,9 @@ class FakeAirspy:
         self.calls = []
         self.n_buffers = n_buffers
         self.buf_samples = buf_samples
-        self.iq = RNG.standard_normal(
-            2 * n_buffers * buf_samples).astype(np.float32)
+        self.iq = np.round(np.clip(
+            RNG.standard_normal(2 * n_buffers * buf_samples) * 8000,
+            -32768, 32767)).astype(np.int16)
 
     def __getattr__(self, name):
         if not name.startswith(self.PREFIX + "_"):
@@ -221,12 +223,12 @@ class FakeAirspy:
             for i in range(self.n_buffers):
                 n = self.buf_samples
                 seg = self.iq[2 * i * n:2 * (i + 1) * n]
-                buf = (ctypes.c_float * (2 * n)).from_buffer_copy(
+                buf = (ctypes.c_int16 * (2 * n)).from_buffer_copy(
                     seg.tobytes())
                 t = transfer_t(device=dev, ctx=None,
                                samples=cast(buf, c_void_p),
                                sample_count=n, dropped_samples=0,
-                               sample_type=0)
+                               sample_type=2)
                 if cb(byref(t)) != 0:
                     break
         self._thread = threading.Thread(target=pump, daemon=True)
@@ -234,7 +236,7 @@ class FakeAirspy:
         return 0
 
 
-def test_airspy_source_streams_float_iq():
+def test_airspy_source_streams_s16_iq():
     from luaradio_tpu.blocks.sources.sdr import AirspySource
     fake = FakeAirspy()
     AirspySource._injected_lib = fake
@@ -244,15 +246,21 @@ def test_airspy_source_streams_float_iq():
         src.differentiate([])
         src.initialize()
         fake._thread.join(timeout=2.0)
+        # the ring holds RAW s16 wire items (no float math on the USB
+        # thread); read() converts lazily with s16 * 2^-15
+        assert src.ring._buf.dtype == np.int16
         total = fake.n_buffers * fake.buf_samples
         got = src.read(total)
-        exp = fake.iq.view(np.complex64)
+        exp = (fake.iq.astype(np.float32) / 32768.0).view(np.complex64)
         np.testing.assert_array_equal(got, exp[:len(got)])
         names = [n for (n, _) in fake.calls]
         for s in ("set_sample_type", "set_samplerate", "set_lna_gain",
                   "set_mixer_gain", "set_vga_gain", "set_rf_bias",
                   "set_freq", "start_rx"):
             assert s in names, s
+        # INT16_IQ requested from the driver
+        st = [a for (n, a) in fake.calls if n == "set_sample_type"][0]
+        assert st[1].value == 2
         src.cleanup()
         assert "stop_rx" in [n for (n, _) in fake.calls]
     finally:
@@ -492,8 +500,11 @@ class FakeUHD:
         self.n_reads = n_reads
         self.samples = samples
         self.reads = 0
-        self.data = (RNG.standard_normal(2 * n_reads * samples)
-                     ).astype(np.float32).view(np.complex64)
+        # RX serves sc16 wire samples (the binding requests cpu_format
+        # "sc16" and converts on-device / lazily on read)
+        self.data = np.round(np.clip(
+            RNG.standard_normal(2 * n_reads * samples) * 9000,
+            -32768, 32767)).astype(np.int16)
 
     def __getattr__(self, name):
         if not name.startswith("uhd_"):
@@ -525,8 +536,8 @@ class FakeUHD:
             return 1  # uhd timeout error
         n = min(self.samples,
                 nsamps if isinstance(nsamps, int) else nsamps.value)
-        seg = self.data[self.reads * self.samples:
-                        self.reads * self.samples + n]
+        seg = self.data[2 * self.reads * self.samples:
+                        2 * self.reads * self.samples + 2 * n]
         dst = cast(buffs, POINTER(c_void_p))[0]
         ctypes.memmove(dst, seg.ctypes.data, seg.nbytes)
         cast(gotp, POINTER(ctypes.c_size_t))[0] = n
@@ -554,7 +565,10 @@ def test_uhd_source_streams_and_option_surface():
                 break
             chunks.append(c)
         got = np.concatenate(chunks)
-        np.testing.assert_array_equal(got, fake.data[:len(got)])
+        exp = (fake.data.astype(np.float32)
+               * np.float32(1.0 / 32767.0)).view(np.complex64)
+        np.testing.assert_array_equal(got, exp[:len(got)])
+        assert src.ring._buf.dtype == np.int16   # raw sc16 wire ring
         names = [n for (n, _) in fake.calls]
         for s in ("usrp_set_rx_rate", "usrp_set_rx_freq",
                   "usrp_set_rx_bandwidth", "usrp_set_rx_antenna",
@@ -673,6 +687,7 @@ def test_sdrplay_source_param_structs_and_stream():
         assert c.agc.setPoint_dBfs == -30
         assert c.dcOffset.DCenable == 1 and c.dcOffset.IQenable == 0
         fake._thread.join(timeout=2.0)
+        assert src.ring._buf.dtype == np.int16   # raw interleaved s16 ring
         total = fake.n_buffers * fake.buf_samples
         got = src.read(total)
         exp = ((fake.xi.astype(np.float32)
@@ -750,6 +765,7 @@ def _install_fake_soapy(monkeypatch):
     mod.SOAPY_SDR_RX = 0
     mod.SOAPY_SDR_TX = 1
     mod.SOAPY_SDR_CF32 = "CF32"
+    mod.SOAPY_SDR_CS16 = "CS16"
     mod.Device = FakeSoapyDevice
     monkeypatch.setitem(sys.modules, "SoapySDR", mod)
     FakeSoapyDevice.instances = []
@@ -759,8 +775,9 @@ def test_soapysdr_source_streams(monkeypatch):
     from luaradio_tpu.blocks.sources.sdr import SoapySDRSource
     _install_fake_soapy(monkeypatch)
     n = 1 << 16
-    FakeSoapyDevice.rx_data = (RNG.standard_normal(2 * 3 * n)
-                               ).astype(np.float32).view(np.complex64)
+    FakeSoapyDevice.rx_data = np.round(np.clip(
+        RNG.standard_normal((3 * n, 2)) * 7000, -32768, 32767)
+        ).astype(np.int16)
     src = SoapySDRSource("driver=fake", 433e6, 1e6, gain=30,
                          settings={"biastee": "true"})
     src.differentiate([])
@@ -772,12 +789,17 @@ def test_soapysdr_source_streams(monkeypatch):
             break
         chunks.append(c)
     got = np.concatenate(chunks)
-    np.testing.assert_array_equal(got, FakeSoapyDevice.rx_data[:len(got)])
+    exp = (FakeSoapyDevice.rx_data.astype(np.float32).reshape(-1)
+           * np.float32(1.0 / 32767.0)).view(np.complex64)
+    np.testing.assert_array_equal(got, exp[:len(got)])
+    assert src.ring._buf.dtype == np.int16   # raw CS16 wire ring
     dev = FakeSoapyDevice.instances[0]
     names = [nm for (nm, _) in dev.calls]
     for s in ("setSampleRate", "setFrequency", "setGain", "writeSetting",
               "setupStream", "activateStream"):
         assert s in names, s
+    # CS16 requested from Soapy (its own CS16->CF32 primitive scale)
+    assert [a for (nm, a) in dev.calls if nm == "setupStream"][0][1] == "CS16"
     src.cleanup()
     names = [nm for (nm, _) in dev.calls]
     assert "deactivateStream" in names and "closeStream" in names
@@ -945,6 +967,158 @@ def test_ringbuffer_write_blocking_backpressure():
                        ).astype(np.complex64))
     rb.close()
     assert not rb.write_blocking(np.ones(4, np.complex64))
+
+
+def test_ringbuffer_read_exact_slow_producer_not_eof():
+    """A producer sustainedly delivering below the nominal rate must not
+    be misread as EOF: read_exact's timeout is a NO-PROGRESS window that
+    restarts while samples keep arriving (ADVICE round-4 finding)."""
+    rb = SampleRingBuffer(1024, np.float32)
+    stop = threading.Event()
+
+    def slow_producer():
+        # 10 samples every 60 ms: each is < the 0.15 s window, but the
+        # full 100 samples take ~0.6 s — several windows
+        for i in range(10):
+            if stop.is_set():
+                return
+            time.sleep(0.06)
+            rb.write(np.full(10, float(i), np.float32))
+        rb.close()
+
+    t = threading.Thread(target=slow_producer, daemon=True)
+    t.start()
+    try:
+        got = rb.read_exact(100, timeout=0.15)
+        assert got is not None and len(got) == 100
+        exp = np.repeat(np.arange(10, dtype=np.float32), 10)
+        np.testing.assert_array_equal(got, exp)
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+
+
+def test_ringbuffer_read_exact_true_stall_returns_partial():
+    """No progress for a full window -> return what is there (the caller
+    warns and treats it as end of stream)."""
+    rb = SampleRingBuffer(256, np.float32)
+    rb.write(np.arange(30, dtype=np.float32))
+    t0 = time.monotonic()
+    got = rb.read_exact(100, timeout=0.1)
+    assert time.monotonic() - t0 < 1.0
+    assert len(got) == 30
+
+
+def test_sdr_stall_warns_instead_of_silent_eof():
+    """_ring_read surfaces a producer stall as a RuntimeWarning so an
+    underrun is distinguishable from a clean stream close."""
+    import warnings
+    from luaradio_tpu.blocks.sources.sdr import RtlSdrSource
+
+    src = RtlSdrSource(104.3e6, 2.4e6)
+    src.differentiate([])
+    src.READ_TIMEOUT = 0.1             # (the rate-scaled term is ~0 here)
+    src._make_ring()
+    src.ring.write(np.zeros(10, np.uint8))   # some data, then silence
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = src._ring_read(100)
+    assert out is not None and len(out) == 10
+    assert any("stalled" in str(x.message) for x in w)
+
+
+@pytest.mark.parametrize("driver", ["airspy", "sdrplay"])
+def test_callback_driver_device_ingest_matches_host(driver):
+    """Callback-API drivers (airspy s16, sdrplay split s16): the raw wire
+    ring + on-device conversion reproduces the host read() stream
+    bit-exactly."""
+    import jax.numpy as jnp
+    from luaradio_tpu.blocks.sources import sdr as sdrmod
+
+    if driver == "airspy":
+        fake = FakeAirspy()
+        cls = sdrmod.AirspySource
+        src_args = (91.1e6, 6e6)
+        total = fake.n_buffers * fake.buf_samples
+    else:
+        fake = FakeSDRplay()
+        cls = sdrmod.SDRplaySource
+        src_args = (98.5e6, 2e6)
+        total = fake.n_buffers * fake.buf_samples
+    cls._injected_lib = fake
+    try:
+        src = cls(*src_args)
+        src.differentiate([])
+        src.initialize()
+        fake._thread.join(timeout=2.0)
+        raw, nv = src.wire_read(total)
+        assert np.issubdtype(raw.dtype, np.integer) and nv == total
+        conv = np.asarray(src.device_ingest()(jnp.asarray(raw)))
+        host = ((raw.astype(np.float32) - np.float32(src._wire_offset))
+                * np.float32(src._wire_scale))
+        np.testing.assert_array_equal(conv, host)
+        src.cleanup()
+    finally:
+        cls._injected_lib = None
+
+
+def test_uhd_wire_ingest_matches_host_conversion(tmp_path):
+    """UHDSource ships raw sc16 wire samples through the fused Runner when
+    every consumer is a device block; output equals the host-conversion
+    run bit-exactly (4 bytes/sample on the link instead of 8)."""
+    import luaradio_tpu as lr
+    from luaradio_tpu.blocks.sources.sdr import UHDSource
+    from luaradio_tpu.core.runtime import Runner
+
+    data = np.round(np.clip(np.random.default_rng(5).standard_normal(
+        2 * 3 * (1 << 16)) * 9000, -32768, 32767)).astype(np.int16)
+    outs = {}
+    for ingest in ("wire", "stream"):
+        fake = FakeUHD()
+        fake.data = data
+        UHDSource._injected_lib = fake
+        try:
+            src = UHDSource("addr=192.168.10.2", 915e6, 10e6)
+            out = str(tmp_path / f"{ingest}.iq")
+            top = lr.CompositeBlock()
+            top.connect(src, lr.MultiplyConstantBlock(0.5),
+                        lr.IQFileSink(out, "f32le"))
+            r = Runner(top, mode="fused", chunk_size=1 << 14, ingest=ingest)
+            assert (len(r._wire_srcs) == 1) == (ingest == "wire")
+            r.run()
+            outs[ingest] = np.fromfile(out, dtype=np.complex64)
+        finally:
+            UHDSource._injected_lib = None
+    assert outs["wire"].size >= 2 * (1 << 14)
+    assert np.array_equal(outs["wire"], outs["stream"])
+
+
+def test_soapysdr_wire_ingest_matches_host_conversion(tmp_path, monkeypatch):
+    """SoapySDRSource ships raw CS16 wire samples through the fused
+    Runner; output equals the host-conversion run bit-exactly."""
+    import luaradio_tpu as lr
+    from luaradio_tpu.blocks.sources.sdr import SoapySDRSource
+    from luaradio_tpu.core.runtime import Runner
+
+    _install_fake_soapy(monkeypatch)
+    n = 1 << 16
+    data = np.round(np.clip(np.random.default_rng(6).standard_normal(
+        (3 * n, 2)) * 7000, -32768, 32767)).astype(np.int16)
+    outs = {}
+    for ingest in ("wire", "stream"):
+        FakeSoapyDevice.rx_data = data
+        FakeSoapyDevice.instances = []
+        src = SoapySDRSource("driver=fake", 433e6, 1e6)
+        out = str(tmp_path / f"{ingest}.iq")
+        top = lr.CompositeBlock()
+        top.connect(src, lr.MultiplyConstantBlock(0.5),
+                    lr.IQFileSink(out, "f32le"))
+        r = Runner(top, mode="fused", chunk_size=1 << 14, ingest=ingest)
+        assert (len(r._wire_srcs) == 1) == (ingest == "wire")
+        r.run()
+        outs[ingest] = np.fromfile(out, dtype=np.complex64)
+    assert outs["wire"].size >= 2 * (1 << 14)
+    assert np.array_equal(outs["wire"], outs["stream"])
 
 
 def test_rtlsdr_wire_ingest_matches_host_conversion(tmp_path):

@@ -86,6 +86,10 @@ def test_cli_version_and_errors(capsys):
         main(["-a", "rx_nope", "-i", "iqfile:x", "-o", "print"])
     with pytest.raises(SystemExit):
         main(["-a", "rx_wbfm"])  # missing -i/-o
+    with pytest.raises(SystemExit):
+        main(["--ingest-stripes", "0", "--version"])  # rejected, not ignored
+    with pytest.raises(SystemExit):
+        main(["--ingest-stripes", "-3", "--version"])
 
 
 def test_rx_wbfm_stereo_app(tmp_path):

@@ -411,3 +411,31 @@ def test_rds_tail_blocks_channel_time_mesh(tmp_path):
                               for x in sink.rows[c::2]])
         assert got.size >= 700, c
         assert np.array_equal(got, refs[c]), c
+
+
+def test_replicated_sharded_state_mode_identical(tmp_path, monkeypatch):
+    """LUARADIO_TPU_REPLICATE_SHARDED_STATE=1 (parallel/time.py
+    shard0_state) genuinely replicates every halo-derived carried state
+    from shard 0 instead of relying on the shard-0-only-reader invariant;
+    the output stream must be bit-identical either way (ADVICE round-4:
+    centralize + verify the invariant)."""
+    n = 1 << 16
+    x = (np.exp(1j * 0.3 * np.cumsum(RNG.standard_normal(n)))
+         ).astype(np.complex64)
+    iq = str(tmp_path / "x.iq")
+    with open(iq, "wb") as f:
+        f.write(x.tobytes())
+
+    out_plain = tmp_path / "plain.f32"
+    _run(_wbfm_graph(iq, out_plain), mesh=_mesh((8,), ("time",)),
+         chunk_size=1 << 13)
+    plain = np.fromfile(out_plain, dtype=np.float32)
+
+    monkeypatch.setenv("LUARADIO_TPU_REPLICATE_SHARDED_STATE", "1")
+    out_repl = tmp_path / "repl.f32"
+    _run(_wbfm_graph(iq, out_repl), mesh=_mesh((8,), ("time",)),
+         chunk_size=1 << 13)
+    repl = np.fromfile(out_repl, dtype=np.float32)
+
+    assert plain.shape == repl.shape
+    assert np.array_equal(plain, repl)
