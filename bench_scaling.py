@@ -99,11 +99,12 @@ def run(max_devices: int | None = None, emit=print,
                  "bounded by ncores/n there; 'overhead_vs_single' (same "
                  "work, sharded vs not) is the structural metric"),
         "max_overhead_vs_single": max_ovh,
-        "projected_real_pod_efficiency": 1.0 / (1.0 + max(max_ovh, 0.0)),
-        "projection_assumption": (
-            "weak scaling; halo/prefix collective payloads are O(taps) "
-            "per shard boundary and ride ICI; unvalidated without "
-            "multi-chip hardware"),
+        # NOTE: no projected-efficiency field.  The measured number is the
+        # structural overhead above; turning it into a pod-efficiency
+        # claim would assume ICI keeps the O(taps)-per-boundary halo
+        # payloads latency-dominated, which cannot be validated without
+        # multi-chip hardware — report the measurement, not the model
+        # (round-4 VERDICT: the projection invited misreading).
         "results": results,
     }
     emit(json.dumps(summary))

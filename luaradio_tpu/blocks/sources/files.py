@@ -210,8 +210,10 @@ class _FileSourceBase(HostSourceBlock):
     def resident_window_args(self, n: int):
         """(ring array, window start item) for this chunk and advance —
         the mesh runtime slices the window inside the sharded program
-        (core/runtime.py resident_ingest)."""
-        start = np.int32(self._res_pos * self._res_k)
+        (core/runtime.py resident_ingest).  The start is a 0-d ndarray so
+        the multihost runtime commits it as a replicated global scalar
+        like any other external input."""
+        start = np.asarray(self._res_pos * self._res_k, np.int32)
         self._res_pos = (self._res_pos + n) % self._res_n
         return self._res_buf, start
 

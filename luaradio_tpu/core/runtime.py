@@ -633,10 +633,11 @@ class Runner:
         self.resident_ingest: dict[str, tuple] = {}
         self._transfer_keys: set[str] = set()
         # resident rings work serially and under a pure time mesh (the ring
-        # replicates across shards and each shard slices its own window);
+        # replicates across shards — including process-spanning meshes,
+        # where every host decodes its own copy of the file and commits a
+        # replicated global ring — and each shard slices its own window);
         # channel banks read banked host sources instead.
-        res_mesh_ok = (self._time_sharded and not chan_banked
-                       and not self._multihost)
+        res_mesh_ok = self._time_sharded and not chan_banked
         for s in self.sources:
             keys = [f"{self.bid[id(s)]}.{oi}" for oi in range(len(s.outputs))]
             all_dev = all(
@@ -672,13 +673,14 @@ class Runner:
                 self._resident_srcs.add(id(s))
                 self._wire_srcs.discard(id(s))
                 if mesh is not None:
-                    import jax
-                    from jax.sharding import NamedSharding, PartitionSpec
+                    from luaradio_tpu.parallel import multihost as _mhm
                     self._resident_mesh_srcs.add(id(s))
                     # replicate the ring across the mesh once; each shard
-                    # slices its own window inside the sharded step
-                    s._res_buf = jax.device_put(
-                        s._res_buf, NamedSharding(mesh, PartitionSpec()))
+                    # slices its own window inside the sharded step (on a
+                    # process-spanning mesh every host decoded the same
+                    # file, so the replicated global ring is committed
+                    # from identical per-process copies)
+                    s._res_buf = _mhm.replicate(mesh, s._res_buf)
                     key = keys[0]
                     self.resident_ingest[key] = (
                         g.out_chunk[id(s)] * s._res_k, s._res_k)
@@ -877,6 +879,11 @@ class Runner:
             if seg.multihost:
                 from luaradio_tpu.parallel import multihost as _mh
                 sh = seg._ext_sharding[k]
+                if not any(sh.spec):
+                    # fully-replicated input (resident window starts):
+                    # identical per process, committed via the callback
+                    # path — process-local-data semantics would stack it
+                    return _mh.replicate(seg.mesh, payload)
                 sls = _mh.local_slices(sh, payload.shape)
                 return _mh.from_local(sh, payload[sls])
             return payload

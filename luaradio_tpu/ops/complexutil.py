@@ -36,7 +36,11 @@ def const_complex(arr: np.ndarray) -> jnp.ndarray:
 
 def host_to_payload(arr: np.ndarray) -> np.ndarray:
     """Host-side: complex64 [..., N] -> interleaved float32 [..., 2N]
-    (zero-copy view)."""
+    (zero-copy view).  0-d scalars (resident window starts) pass through
+    unchanged — np.ascontiguousarray would silently promote them to
+    shape (1,)."""
+    if np.ndim(arr) == 0:
+        return arr
     arr = np.ascontiguousarray(arr)
     if np.iscomplexobj(arr):
         return arr.view(np.float32)

