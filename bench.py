@@ -173,7 +173,11 @@ def bench_file_runner(t_deadline: float, resident: bool) -> float:
 
     run_chunks(1)
     dt4 = run_chunks(4)
-    k = int(min(64, max(4, round(TARGET_TRIAL_S / max(dt4 / 4, 1e-5)))))
+    # calibrate so the trial is long enough that the one-time drain-fence
+    # fetch (~50-80 ms RTT on the tunneled transport) is <3% of it — the
+    # round-4 cap of 64 chunks made trials fence-dominated and
+    # under-reported this row by ~2x
+    k = int(min(1024, max(16, round(TARGET_TRIAL_S / max(dt4 / 4, 1e-5)))))
     best = 0.0
     for _ in range(TRIALS):
         if best and time.perf_counter() > t_deadline:

@@ -110,7 +110,8 @@ class Segment:
                  jit_compile: bool, mesh=None, channels: int | None = None,
                  channel_axis: str = "channel", time_axis: str | None = None,
                  wire_ingest: dict[str, Any] | None = None,
-                 resident_ingest: dict[str, tuple] | None = None):
+                 resident_ingest: dict[str, tuple] | None = None,
+                 resident_decoded: set[str] | None = None):
         import jax
 
         self.blocks = blocks
@@ -120,11 +121,13 @@ class Segment:
         self.channels = channels
         self.time_axis = time_axis
         self.wire_ingest = wire_ingest or {}
-        # key -> (window items per chunk, items per sample): the source's
-        # ring is device-resident and replicated over the mesh; the step
-        # slices each chunk's window in-graph (per shard under time
-        # sharding) from '<key>#buf' at '<key>#start'.
+        # key -> (window items per chunk, items per sample, ring period
+        # items): the source's ring is device-resident (replicated over
+        # any mesh); the step slices each chunk's window in-graph (per
+        # shard under time sharding) from '<key>#buf' at the carried
+        # '<key>#rs' start state, which advances in-graph.
         self.resident_ingest = resident_ingest or {}
+        self.resident_decoded = resident_decoded or set()
         # Multihost: the mesh spans several processes; every process runs
         # this same program, supplies its local block of each ext chunk,
         # and fetches only its addressable output shards (DCN execution —
@@ -180,14 +183,18 @@ class Segment:
             mesh is not None and time_axis is not None) else 1
 
         #: the ext entries _run_segment actually sends: resident keys are
-        #: replaced by their ring + window-start scalars.  Only resident
-        #: sources THIS segment consumes — other segments of a multi-stage
-        #: graph must not bind and slice rings they never read.
+        #: replaced by their ring array; the window START lives in the
+        #: carried (donated) state and advances IN-GRAPH, so no host
+        #: value crosses per chunk at all (a per-chunk numpy scalar
+        #: argument measured ~0.5 ms of tunnel transfer per dispatch).
+        #: Only resident sources THIS segment consumes — other segments
+        #: of a multi-stage graph must not bind and slice rings they
+        #: never read.
         res = {k: v for k, v in res.items() if k in self.ext_keys}
         self.resident_ingest = res
         self.ext_transfer_keys = (
             [k for k in self.ext_keys if k not in res]
-            + [k + sfx for k in res for sfx in ("#buf", "#start")])
+            + [k + "#buf" for k in res])
 
         def step(states: dict, ext: dict):
             # wire-ingest edges arrive as raw integer wire samples and are
@@ -199,11 +206,14 @@ class Segment:
 
             vals = {}
             ext = dict(ext)
-            for k, (items, _kf) in res.items():
+            new_states = dict(states)
+            for k, (items, _kf, period) in res.items():
                 # slice this chunk's window from the device-resident ring
-                # (replicated over the mesh; each shard takes its own part)
+                # (replicated over the mesh; each shard takes its own
+                # part); the start index is carried state, advanced here
                 buf = ext.pop(k + "#buf")
-                start = ext.pop(k + "#start")
+                start = states[k + "#rs"]
+                new_states[k + "#rs"] = (start + items) % period
                 if tshards > 1:
                     ll = items // tshards
                     idx = lax.axis_index(time_axis)
@@ -212,10 +222,12 @@ class Segment:
                 else:
                     ext[k] = lax.dynamic_slice(buf, (start,), (items,))
             for k, v in ext.items():
+                if k in self.resident_decoded:
+                    vals[k] = v          # ring pre-decoded at setup
+                    continue
                 if k in wire:
                     v = wire[k](v)
                 vals[k] = unpack_complex(v) if self.ext_complex[k] else v
-            new_states = dict(states)
             for b in blocks:
                 k = bid[id(b)]
                 if isinstance(b, SignalSourceBlock):
@@ -276,17 +288,24 @@ class Segment:
                     return P(chan, *([None] * (rank - 2)), time_axis)
                 return P(*([None] * (rank - 1)), time_axis)
 
+            def _res_starts():
+                return {k + "#rs": jnp.int32(0) for k in res}
+
             if chan:
                 c = channels or int(mesh.shape[channel_axis])
 
                 def init_states():
                     st = {bid[id(b)]: b.init_state() for b in blocks}
-                    return jax.tree.map(
+                    st = jax.tree.map(
                         lambda l: jnp.broadcast_to(jnp.asarray(l),
                                                    (c,) + jnp.shape(l)), st)
+                    st.update(_res_starts())
+                    return st
             else:
                 def init_states():
-                    return {bid[id(b)]: b.init_state() for b in blocks}
+                    st = {bid[id(b)]: b.init_state() for b in blocks}
+                    st.update(_res_starts())
+                    return st
             if self.multihost:
                 # a no-input jit with global out_shardings runs as one SPMD
                 # computation across all processes — the only way to create
@@ -304,9 +323,8 @@ class Segment:
                                        self.states)
             ext_specs = {k: vspec(2 if chan else 1) for k in self.ext_keys
                          if k not in self.resident_ingest}
-            for k in self.resident_ingest:  # ring + start are replicated
+            for k in self.resident_ingest:  # the ring is replicated
                 ext_specs[k + "#buf"] = P()
-                ext_specs[k + "#start"] = P()
             if self.multihost:
                 from jax.sharding import NamedSharding
                 self._ext_sharding = {k: NamedSharding(mesh, s)
@@ -372,6 +390,8 @@ class Segment:
                                 jnp.asarray(l), tuple(batch) + jnp.shape(l)),
                             st)
                     out[bid[id(b)]] = st
+                for k in res:        # resident window starts (in-graph)
+                    out[k + "#rs"] = jnp.int32(0)
                 return out
             self.states = jax.jit(init_all)()
 
@@ -631,6 +651,9 @@ class Runner:
         self._resident_srcs: set[int] = set()
         self._resident_mesh_srcs: set[int] = set()
         self.resident_ingest: dict[str, tuple] = {}
+        #: resident keys whose ring was pre-decoded to final samples at
+        #: setup (serial path): the step slices and uses them directly
+        self._resident_decoded: set[str] = set()
         self._transfer_keys: set[str] = set()
         # resident rings work serially and under a pure time mesh (the ring
         # replicates across shards — including process-spanning meshes,
@@ -670,23 +693,50 @@ class Runner:
                     and s.resident_setup(g.out_chunk[id(s)])):
                 # Device-resident loop: the repeating file's decoded
                 # payload streams from HBM with ZERO host link traffic.
+                # The chunk window is sliced INSIDE the fused program
+                # (ring + start scalar are jit arguments) on every path —
+                # a separate slicing dispatch per chunk measured ~3x
+                # slower end-to-end on the tunneled transport (round-5
+                # pump-gap fix).
                 self._resident_srcs.add(id(s))
                 self._wire_srcs.discard(id(s))
+                self._resident_mesh_srcs.add(id(s))
                 if mesh is not None:
                     from luaradio_tpu.parallel import multihost as _mhm
-                    self._resident_mesh_srcs.add(id(s))
                     # replicate the ring across the mesh once; each shard
                     # slices its own window inside the sharded step (on a
                     # process-spanning mesh every host decoded the same
                     # file, so the replicated global ring is committed
                     # from identical per-process copies)
                     s._res_buf = _mhm.replicate(mesh, s._res_buf)
-                    key = keys[0]
+                key = keys[0]
+                self.resident_ingest[key] = (
+                    g.out_chunk[id(s)] * s._res_k, s._res_k,
+                    s._res_n * s._res_k)
+                self.wire_ingest.pop(key, None)
+                if mesh is None:
+                    # Serial path: decode the ring ONCE on the device —
+                    # wire conversion AND the complex deinterleave run at
+                    # setup, so the steady-state program slices ready
+                    # complex samples with no per-chunk conversion or
+                    # MXU deint at all (device-resident complex arrays
+                    # are fine between jit calls; only boundaries are
+                    # constrained — ops/complexutil.py).
+                    import jax
+
+                    conv = (s.device_ingest() if force != "stream"
+                            else None)
+                    cplx = s.output_types[0].dtype.kind == "c"
+
+                    def _decode(buf, conv=conv, cplx=cplx):
+                        v = conv(buf) if conv is not None else buf
+                        return unpack_complex(v) if cplx else v
+                    s._res_buf = jax.jit(_decode)(s._res_buf)
                     self.resident_ingest[key] = (
-                        g.out_chunk[id(s)] * s._res_k, s._res_k)
-                    self.wire_ingest.pop(key, None)
-                    if s.device_ingest() is not None and force != "stream":
-                        self.wire_ingest[key] = s.device_ingest()
+                        g.out_chunk[id(s)], 1, s._res_n)
+                    self._resident_decoded.add(key)
+                elif s.device_ingest() is not None and force != "stream":
+                    self.wire_ingest[key] = s.device_ingest()
             elif force == "resident":
                 raise ValueError(
                     f"ingest='resident': source {s.name} is not an "
@@ -706,7 +756,8 @@ class Runner:
                           channels=channels, channel_axis=channel_axis,
                           time_axis=self.time_axis,
                           wire_ingest=self.wire_ingest,
-                          resident_ingest=self.resident_ingest) \
+                          resident_ingest=self.resident_ingest,
+                          resident_decoded=self._resident_decoded) \
                 if dev else None
             self.stage_plan.append((seg, host))
 
@@ -778,8 +829,13 @@ class Runner:
 
     def _next_chunk(self):
         """One chunk of source data, via the read-ahead thread in fused
-        mode (lazily started) or synchronously in eager mode."""
-        if self.mode != "fused" or not self.sources:
+        mode (lazily started) or synchronously in eager mode.  When every
+        source is device-resident there is nothing to overlap (no file
+        I/O, no host->device transfer — reads just hand back the ring
+        handle), so the pump reads synchronously: the prefetcher's
+        cross-thread queue handoff costs more than the read."""
+        if self.mode != "fused" or not self.sources or all(
+                id(s) in self._resident_mesh_srcs for s in self.sources):
             return self._traced("sources.read", self._read_sources)
         if self._prefetcher is None:
             # Complete one full put->execute->fetch round trip on THIS
@@ -808,15 +864,10 @@ class Runner:
         for s in self.sources:
             want = g.out_chunk[id(s)]
             if id(s) in self._resident_mesh_srcs:
+                # ring only: the window start is carried device state,
+                # advanced inside the fused program
                 key = f"{self.bid[id(s)]}.0"
-                buf, start = s.resident_window_args(want)
-                values[key + "#buf"] = buf
-                values[key + "#start"] = start
-                nvalid[key] = want
-                continue
-            if id(s) in self._resident_srcs:
-                key = f"{self.bid[id(s)]}.0"
-                values[key] = s.resident_read(want)
+                values[key + "#buf"] = s._res_buf
                 nvalid[key] = want
                 continue
             if id(s) in self._wire_srcs:
@@ -874,6 +925,11 @@ class Runner:
             if not isinstance(v, np.ndarray):
                 return v
             payload = host_to_payload(v)
+            if payload.ndim == 0 and seg.mesh is None:
+                # tiny scalar (resident window start): hand it to jit as
+                # a plain argument — an eager device_put would cost a
+                # tunnel round trip per chunk
+                return payload
             if seg.mesh is None:
                 return jnp.asarray(payload)
             if seg.multihost:

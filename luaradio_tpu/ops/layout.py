@@ -35,6 +35,30 @@ def _use_mxu() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _sel_einsum(subs: str, x: jnp.ndarray, s) -> jnp.ndarray:
+    """``einsum(subs, x, s)`` for a 0/1 SELECTION matrix s, bit-exact f32
+    in 3 bf16 MXU passes instead of Precision.HIGHEST's 6.
+
+    x = hi + mid + lo with each term bf16-representable covers all 24
+    f32 mantissa bits; each pass selects (never mixes) elements, so the
+    three partial results re-assemble the split exactly.  Complex inputs
+    keep the HIGHEST path (no bf16 complex matmul)."""
+    if x.dtype != jnp.float32:     # complex / f64: no bf16 decomposition
+        return jnp.einsum(subs, x, jnp.asarray(s, dtype=x.real.dtype),
+                          precision=lax.Precision.HIGHEST)
+    xb = x.astype(jnp.bfloat16)
+    r = x - xb.astype(jnp.float32)
+    mb = r.astype(jnp.bfloat16)
+    lb = (r - mb.astype(jnp.float32)).astype(jnp.bfloat16)
+    sb = jnp.asarray(s).astype(jnp.bfloat16)
+
+    def one(a):
+        return jnp.einsum(subs, a, sb,
+                          preferred_element_type=jnp.float32)
+
+    return one(xb) + one(mb) + one(lb)
+
+
 def _phase_matrix(k: int) -> np.ndarray:
     """[128k, 128k] selection matrix: an interleaved block of 128k samples
     times this yields k concatenated 128-sample phases."""
@@ -68,9 +92,8 @@ def phase_split(x: jnp.ndarray, k: int) -> list[jnp.ndarray]:
             and n % k == 0):
         main = x[..., :nb * blk]
         fr = main.reshape(lead + (nb, blk))
-        y = jnp.einsum("...nc,cd->...nd", fr,
-                       jnp.asarray(_phase_matrix(k), dtype=np.float32),
-                       precision=lax.Precision.HIGHEST)
+        y = _sel_einsum("...nc,cd->...nd", fr,
+                        _phase_matrix(k))
         parts = [y[..., p * _LANES:(p + 1) * _LANES]
                  .reshape(lead + (nb * _LANES,)) for p in range(k)]
         if nb * blk != n:
@@ -97,8 +120,7 @@ def decimate_pick(x: jnp.ndarray, k: int, phase: int = 0) -> jnp.ndarray:
         for j in range(_LANES):
             s[k * j + phase, j] = 1.0
         main = x[..., :nb * blk].reshape(lead + (nb, blk))
-        y = jnp.einsum("...nc,cd->...nd", main, jnp.asarray(s),
-                       precision=lax.Precision.HIGHEST)
+        y = _sel_einsum("...nc,cd->...nd", main, s)
         y = y.reshape(lead + (nb * _LANES,))
         if nb * blk != n:
             y = jnp.concatenate([y, x[..., nb * blk + phase::k]], axis=-1)
@@ -121,9 +143,7 @@ def phase_merge(xs: list[jnp.ndarray]) -> jnp.ndarray:
         mm = mb * _LANES
         cat = jnp.concatenate(
             [x[..., :mm].reshape(lead + (mb, _LANES)) for x in xs], axis=-1)
-        y = jnp.einsum("...nc,dc->...nd", cat,
-                       jnp.asarray(_phase_matrix(k), dtype=np.float32),
-                       precision=lax.Precision.HIGHEST)
+        y = _sel_einsum("...nc,dc->...nd", cat, _phase_matrix(k))
         y = y.reshape(lead + (mm * k,))
         if mm != m:
             tail = jnp.stack([x[..., mm:] for x in xs], axis=-1)
@@ -148,8 +168,7 @@ def upsample_zero_stuff(x: jnp.ndarray, k: int) -> jnp.ndarray:
             u[j, k * j] = 1.0
         nn = nb * _LANES
         main = x[..., :nn].reshape(lead + (nb, _LANES))
-        y = jnp.einsum("...nc,cd->...nd", main, jnp.asarray(u),
-                       precision=lax.Precision.HIGHEST)
+        y = _sel_einsum("...nc,cd->...nd", main, u)
         y = y.reshape(lead + (nn * k,))
         if nn != n:
             tail = jnp.stack(

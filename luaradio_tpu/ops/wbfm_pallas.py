@@ -12,10 +12,26 @@ does the entire chain per time tile inside VMEM:
     HBM write : audio tile (1/D of the input)
 
 = one 8-byte read + one D-th-sized write per complex sample; every
-intermediate lives in VMEM.  Grid steps are independent — each tile
-re-reads its K-sample halo from HBM (~3-15% read overlap) instead of
-carrying state across steps, and the chunk-boundary halo for tile 0
-comes from a small carried ref.
+intermediate lives in VMEM.  Tile windows are DOUBLE-BUFFERED: the DMA
+for tile i+1 (payload and its halo head) is issued before tile i's
+compute, so HBM reads overlap the MXU/VPU work.  The chunk-boundary
+halo for tile 0 comes from a small carried ref.
+
+MXU emulation strategy (measured on v5e, round 5 — see
+ROOFLINE_r05.json): the binding resource is the MXU running f32-exact
+emulated matmuls, not HBM and not the VPU atan2.
+
+* deinterleave: the selection matrix is 0/1 (exact in bf16), so an
+  exact 3-term bf16 decomposition of the payload (x = hi + mid + lo,
+  24 mantissa bits total) gives BIT-EXACT f32 selection in 3 MXU passes
+  instead of Precision.HIGHEST's 6.  Exactness here is load-bearing:
+  atan2 sits right behind, and near the +-pi branch cut a 2^-17
+  perturbation of re/im flips the angle by ~2*pi.
+* decimating FIR: 2-term splits of both operands with the lo*lo term
+  dropped (XLA's HIGH algorithm, which Mosaic cannot lower natively):
+  3 passes, ~2^-17 relative error on the smooth post-atan2 stream —
+  ~5e-6 of full scale on the audio, far inside the 2e-5 test tolerance.
+  ``fir_exact=True`` restores 6-pass HIGHEST.
 
 Used by parallel/flagship.py on TPU; the XLA path remains the reference
 implementation and the CPU fallback.
@@ -45,55 +61,98 @@ def _deint_matrix() -> np.ndarray:
     return s
 
 
-def _kernel(halo, tile, d, b, inv_gain,
-            x_ref, carry_ref, smat_ref, tmat_ref, out_ref, xw_ref, sem):
+def _bf_dot(a, b):
+    """One bf16 MXU pass with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dot_sel3(x, s):
+    """x @ s for a bf16-exact (0/1) matrix s: exact f32 in 3 bf16 passes.
+
+    x = hi + mid + lo with each term bf16-representable covers all 24
+    f32 mantissa bits; each pass is exact, and the selection structure
+    makes the final sums exact re-assemblies of the split."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - x_hi
+    x_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = r1 - x_mid
+    return _bf_dot(x_hi, s) + _bf_dot(x_mid, s) + _bf_dot(x_lo, s)
+
+
+def _dot_split22(x, s):
+    """x @ s in 3 bf16 passes: 2-term splits of both operands, lo*lo
+    dropped (~2^-17 relative — the HIGH algorithm, hand-lowered)."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    s_hi = s.astype(jnp.bfloat16).astype(jnp.float32)
+    s_lo = s - s_hi
+    return _bf_dot(x_hi, s_hi) + _bf_dot(x_lo, s_hi) + _bf_dot(x_hi, s_lo)
+
+
+def _dot_highest(x, s):
+    return jax.lax.dot_general(x, s,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(halo, tile, d, b, inv_gain, nsteps, fir_exact,
+            x_ref, carry_ref, smat_ref, tmat_ref, out_ref, win_ref,
+            sems, hsems):
     """One time tile for all channels.
 
     x_ref:     HBM [C, 2T] interleaved payload
-    carry_ref: VMEM [C, 2*(halo+1)] chunk-boundary payload history
+    carry_ref: HBM [C, 2*(halo+1)] chunk-boundary payload history
     smat_ref:  VMEM [256, 256] deinterleave selection matrix
     tmat_ref:  VMEM [W, B] banded decimating tap matrix
     out_ref:   VMEM [C, tile//d] audio tile (auto-written back)
-    xw_ref:    VMEM scratch [C, 2*(halo+1+tile)] payload window
+    win_ref:   VMEM [2, C, 2*(halo+1+tile)] double-buffered [head|tile]
+               payload windows; DMAs land here directly
     """
     i = pl.program_id(0)
-    c = xw_ref.shape[0]
-    head = 2 * (halo + 1)          # interleaved history floats
+    c = win_ref.shape[1]
+    head = 2 * (halo + 1)
+    slot = i % 2
 
-    # ---- load the payload window: [history | tile] ----------------------
     @pl.when(i == 0)
     def _():
-        cp0 = pltpu.make_async_copy(carry_ref.at[:, pl.ds(0, head)],
-                                    xw_ref.at[:, pl.ds(0, head)], sem)
-        cp0.start()
-        cp0.wait()
+        pltpu.make_async_copy(x_ref.at[:, pl.ds(0, 2 * tile)],
+                              win_ref.at[0, :, pl.ds(head, 2 * tile)],
+                              sems.at[0]).start()
+        pltpu.make_async_copy(carry_ref.at[:, pl.ds(0, head)],
+                              win_ref.at[0, :, pl.ds(0, head)],
+                              hsems.at[0]).start()
 
-    @pl.when(i > 0)
+    @pl.when(i + 1 < nsteps)
     def _():
-        start = pl.multiple_of(i * 2 * tile - head, 128)
-        cp = pltpu.make_async_copy(
-            x_ref.at[:, pl.ds(start, head)],
-            xw_ref.at[:, pl.ds(0, head)], sem)
-        cp.start()
-        cp.wait()
+        nslot = (i + 1) % 2
+        nxt = pl.multiple_of((i + 1) * 2 * tile, 128)
+        pltpu.make_async_copy(x_ref.at[:, pl.ds(nxt, 2 * tile)],
+                              win_ref.at[nslot, :, pl.ds(head, 2 * tile)],
+                              sems.at[nslot]).start()
+        hstart = pl.multiple_of((i + 1) * 2 * tile - head, 128)
+        pltpu.make_async_copy(x_ref.at[:, pl.ds(hstart, head)],
+                              win_ref.at[nslot, :, pl.ds(0, head)],
+                              hsems.at[nslot]).start()
 
-    start = pl.multiple_of(i * 2 * tile, 128)
-    cp = pltpu.make_async_copy(
-        x_ref.at[:, pl.ds(start, 2 * tile)],
-        xw_ref.at[:, pl.ds(head, 2 * tile)], sem)
-    cp.start()
-    cp.wait()
+    # wait for this tile's payload + head (size-matched descriptors)
+    pltpu.make_async_copy(x_ref.at[:, pl.ds(0, 2 * tile)],
+                          win_ref.at[slot, :, pl.ds(head, 2 * tile)],
+                          sems.at[slot]).wait()
+    pltpu.make_async_copy(x_ref.at[:, pl.ds(0, head)],
+                          win_ref.at[slot, :, pl.ds(0, head)],
+                          hsems.at[slot]).wait()
 
-    # ---- deinterleave via MXU selection matmul --------------------------
+    # ---- deinterleave via exact 3-pass MXU selection matmul -------------
     n = halo + 1 + tile            # complex samples in the window
-    xw = xw_ref[:, :].reshape(c * (2 * n // 256), 256)
-    de = jax.lax.dot_general(xw, smat_ref[:, :],
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
+    xw = win_ref[slot, :, :].reshape(c * (2 * n // 256), 256)
+    de = _dot_sel3(xw, smat_ref[:, :])
     de = de.reshape(c, 2 * n // 256, 256)
-    re = de[:, :, :128].reshape(c, n)
-    im = de[:, :, 128:].reshape(c, n)
+    re = de[:, :, :_LANES].reshape(c, n)
+    im = de[:, :, _LANES:].reshape(c, n)
 
     # ---- discriminator: arg(x[t] * conj(x[t-1])) / (2 pi gain) ----------
     rp = re[:, :-1]
@@ -113,16 +172,15 @@ def _kernel(halo, tile, d, b, inv_gain,
     pad = (nf + 1) * bb - (halo + tile)
     m2 = jnp.pad(m, ((0, 0), (0, pad))).reshape(c, nf + 1, bb)
     fr = jnp.concatenate([m2[:, :-1, :], m2[:, 1:, :w - bb]], axis=-1)
-    y = jax.lax.dot_general(fr.reshape(c * nf, w), tmat_ref[:, :],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
+    fir_dot = _dot_highest if fir_exact else _dot_split22
+    y = fir_dot(fr.reshape(c * nf, w), tmat_ref[:, :])
     out_ref[:, :] = y.reshape(c, nf * b)
 
 
 def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
                      tile: int = 1 << 14, block: int = 128,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     fir_exact: bool = False):
     """Build fused(carry_pair [C, 2K], x_pair [C, 2T]) ->
     (new_carry, audio [C, T//D]).
 
@@ -142,13 +200,11 @@ def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
     from luaradio_tpu.ops.fir import _decim_tap_matrix
     smat = _deint_matrix()
     tmat = _decim_tap_matrix(taps, b, d)
-    w = tmat.shape[0]
     if halo > b * d:
         # the in-kernel frame pad is b*d - (K-1); any longer tap vector
         # would pad negatively and fail at trace time
         raise ValueError("taps too long for the frame window; raise block")
 
-    kern = functools.partial(_kernel, halo, tile, d, b, np.float32(inv_gain))
     jtaps = jnp.asarray(taps[::-1].copy())
 
     def _xla_ref(carry_pair, x_pair):
@@ -174,10 +230,12 @@ def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
         new_carry = x_pair[:, t2 - 2 * (halo + 1):]
         if t % tile:
             return new_carry, _xla_ref(carry_pair, x_pair)
-        grid = (t // tile,)
+        nsteps = t // tile
+        kern = functools.partial(_kernel, halo, tile, d, b,
+                                 np.float32(inv_gain), nsteps, fir_exact)
         audio = pl.pallas_call(
             kern,
-            grid=grid,
+            grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
                 pl.BlockSpec(memory_space=pl.ANY),        # carry (DMA'd)
@@ -188,8 +246,9 @@ def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, t // d), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((c, 2 * (halo + 1 + tile)), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, c, 2 * (halo + 1 + tile)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interp,
         )(x_pair, carry_pair, jnp.asarray(smat), jnp.asarray(tmat))

@@ -246,7 +246,9 @@ def test_resident_loop_under_time_mesh(tmp_path):
         r = Runner(top, mode="fused", chunk_size=1024, mesh=mesh,
                    ingest="resident")
         assert r._resident_srcs
-        assert bool(r._resident_mesh_srcs) == (mesh is not None)
+        # the chunk window is sliced in-graph on every path (round 5:
+        # a separate slicing dispatch cost ~3x end-to-end on the tunnel)
+        assert r._resident_mesh_srcs == r._resident_srcs
         r.run(max_chunks=8)
 
     a, b = tmp_path / "serial.iq", tmp_path / "mesh.iq"

@@ -164,8 +164,8 @@ def test_wbfm_pallas_kernel_matches_xla():
     fused-XLA flagship path across chunk boundaries."""
     from luaradio_tpu.parallel.flagship import make_wbfm_mono_step
 
-    c, tile = 2, 128 * 8 * 8
-    t = 2 * tile
+    c, tile = 2, 128 * 8 * 16   # must equal the flagship kernel tile, or
+    t = 2 * tile                # the kernel path silently falls back
     z = (RNG.standard_normal((c, t)) + 1j * RNG.standard_normal((c, t))
          ).astype(np.complex64)
 

@@ -38,7 +38,12 @@ CONFIGS = {
     "time-shard-4": {"LUARADIO_TPU_JIG_TIME_SHARD": "4"},
 }
 
-FULL_TARGETS = ["tests/blocks", "tests/refparity"]
+#: the WHOLE suite (the reference runs its entire busted suite under all
+#: 8 backend combos, tests.yml:96-105): receivers, runtime, ingest, and
+#: parallel tests all run under every config — exactly where an
+#: optimizer-rewrite bug would hide.  The accel_matrix lane test itself
+#: is excluded by the conftest marker skip (no -m here).
+FULL_TARGETS = ["tests"]
 QUICK_TARGETS = ["tests/blocks/test_math.py", "tests/blocks/test_modem.py",
                  "tests/refparity/test_reference_protocol.py"]
 
