@@ -338,13 +338,30 @@ def pll_hybrid(x, state, alpha, beta, fmin, fmax, mult: int, sequential,
     lseg, warm = plan
 
     def _fallback(_):
-        ok, b_state, b_out, b_err = pll_overlap_discard(
-            x, state, alpha, beta, fmin, fmax, mult, lseg, warm)
+        # Cheap coherence gate: the overlap tier's boundary check can
+        # only pass when the loop trajectory is input-dominated (a
+        # carrier to track).  On carrier-free noise the warm-up never
+        # converges (wrapped detector errors keep trajectories apart),
+        # so the whole batched scan is wasted work ahead of the
+        # sequential kernel — skip it when the lag-1 autocorrelation
+        # says there is no carrier.  Correctness is unaffected either
+        # way: the overlap result is independently validated, and the
+        # gate only chooses which tiers run.
+        c = jnp.sum(x[..., 1:] * jnp.conj(x[..., :-1]))
+        p = jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+        coherent = jnp.abs(c) > np.float32(0.05) * jnp.maximum(
+            p, np.float32(1e-30))
 
-        def _batched(_):
-            return b_state, (b_out, b_err)
+        def _try_overlap(_):
+            ok, b_state, b_out, b_err = pll_overlap_discard(
+                x, state, alpha, beta, fmin, fmax, mult, lseg, warm)
 
-        return lax.cond(ok, _batched, _seq, operand=None)
+            def _batched(_):
+                return b_state, (b_out, b_err)
+
+            return lax.cond(ok, _batched, _seq, operand=None)
+
+        return lax.cond(coherent, _try_overlap, _seq, operand=None)
 
     return lax.cond(valid, _linear, _fallback, operand=None)
 
