@@ -436,6 +436,14 @@ def main():
                 float(np.exp(np.mean([np.log(r["vs_baseline"])
                                       for r in ok]))) if ok else 0.0),
             "platform": jax.devices()[0].platform,
+            "environment_note": (
+                "this TPU is reached through a shared tunneled transport "
+                "whose throughput drifts ~2x over minutes (observed on "
+                "identical code, e.g. trivial elementwise rows moving "
+                "12x<->35x between runs); compare rows run-to-run with "
+                "that variance in mind, and treat kernel-attributed "
+                "artifacts (ROOFLINE_*.json ablations) as the stable "
+                "signal"),
         }
         with open(args.out, "w") as f:
             json.dump(agg, f, indent=1)

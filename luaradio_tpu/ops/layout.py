@@ -43,7 +43,8 @@ def _sel_einsum(subs: str, x: jnp.ndarray, s) -> jnp.ndarray:
     f32 mantissa bits; each pass selects (never mixes) elements, so the
     three partial results re-assemble the split exactly.  Complex inputs
     keep the HIGHEST path (no bf16 complex matmul)."""
-    if x.dtype != jnp.float32:     # complex / f64: no bf16 decomposition
+    if x.dtype != jnp.float32 or os.environ.get("LUARADIO_TPU_SEL_HIGHEST"):
+        # complex / f64: no bf16 decomposition (and an A/B escape hatch)
         return jnp.einsum(subs, x, jnp.asarray(s, dtype=x.real.dtype),
                           precision=lax.Precision.HIGHEST)
     xb = x.astype(jnp.bfloat16)
