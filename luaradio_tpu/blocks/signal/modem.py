@@ -214,10 +214,101 @@ class QuadratureAmplitudeModulatorBlock(PulseAmplitudeModulatorBlock):
         return state, y
 
 
+class DiscriminatorDecimatingFIRBlock(SignalBlock):
+    """Fused FrequencyDiscriminator + DecimatingFIR as ONE Pallas pass
+    over VMEM tiles (ops/wbfm_pallas.py make_disc_fir_pallas): the
+    discriminated stream never round-trips through HBM between the atan2
+    and the FIR.  Complex64 is planar inside XLA programs, so the
+    kernel's re/im plane inputs are free views of the incoming stream.
+
+    Available for explicit use; the automatic graph-optimizer
+    substitution is OPT-IN (LUARADIO_TPU_FORCE_WBFM_KERNEL=1) because a
+    pallas_call is a fusion barrier: mid-graph, materializing the
+    producer's output for the custom call costs more than the saved
+    round trip (measured on v5e — see core/optimize.py _fuse_disc_fir).
+    The hand-fused flagship step (parallel/flagship.py), whose input is
+    an already-materialized boundary payload, is where the one-pass
+    kernel wins.
+
+    State is the last K input samples (complex) — a pure input tail, so
+    the generic halo exchange applies if ever sharded; the optimizer
+    only synthesizes this block on unsharded graphs.
+    """
+
+    def __init__(self, taps, decimation: int, modulation_index: float):
+        super().__init__()
+        taps = np.asarray(taps, np.float32)
+        k = -(-len(taps) // 128) * 128         # kernel wants 128-multiples
+        self.taps = np.concatenate(
+            [taps, np.zeros(k - len(taps), np.float32)])
+        self.decimation = int(decimation)
+        self.gain = 2 * np.pi * float(modulation_index)
+        self.add_type_signature([Input("in", ComplexFloat32)],
+                                [Output("out", Float32)])
+
+    @classmethod
+    def synth(cls, taps, decimation, modulation_index, rate,
+              name_hint: str = ""):
+        blk = cls(taps, decimation, modulation_index)
+        blk.differentiate([ComplexFloat32])
+        blk.input_rate = rate
+        if name_hint:
+            blk.name = f"DiscriminatorDecimatingFIRBlock[{name_hint}]"
+        return blk
+
+    def get_rate_ratio(self):
+        return Fraction(1, self.decimation)
+
+    def chunk_multiple(self):
+        return self.decimation
+
+    def initialize(self):
+        from luaradio_tpu.ops.wbfm_pallas import make_disc_fir_pallas
+        self._fused = make_disc_fir_pallas(
+            self.taps, self.decimation, np.float32(1.0 / self.gain))
+
+    def init_state(self):
+        # last K complex samples (cold start: zeros; arg(0 * conj(0)) = 0
+        # matches the unfused blocks' zero-state cold start)
+        return jnp.zeros((len(self.taps),), dtype=jnp.complex64)
+
+    #: single-stream chunks refold into this many contiguous rows so the
+    #: kernel's VPU/MXU tiles use full sublanes (a [1, N] window uses 1
+    #: of 8 sublanes); each row's carry is the preceding row's tail,
+    #: available in the same chunk — exact, because the state is a pure
+    #: input tail
+    _REFOLD = 8
+
+    def process(self, state, x):
+        lead = x.shape[:-1]
+        t = x.shape[-1]
+        k = len(self.taps)
+        d = self.decimation
+        xm = x.reshape((-1, t))
+        cm = jnp.broadcast_to(state, lead + (k,)).reshape((-1, k))
+        r = self._REFOLD
+        new_state = jnp.concatenate([cm, xm], axis=-1)[:, -k:]
+        if (xm.shape[0] == 1 and t % (r * d) == 0 and t // r >= k
+                and t // r % d == 0):
+            tp = t // r
+            rows = xm.reshape(r, tp)
+            heads = jnp.concatenate(
+                [cm] + [xm[:, rr * tp - k:rr * tp] for rr in range(1, r)],
+                axis=0)
+            audio = self._fused(jnp.real(heads), jnp.imag(heads),
+                                jnp.real(rows), jnp.imag(rows))
+            audio = audio.reshape(1, t // d)
+        else:
+            audio = self._fused(jnp.real(cm), jnp.imag(cm),
+                                jnp.real(xm), jnp.imag(xm))
+        return (new_state.reshape(lead + (k,)),
+                audio.reshape(lead + (t // d,)))
+
+
 __all__ = [
     "FrequencyTranslatorBlock", "FrequencyDiscriminatorBlock",
     "FrequencyModulatorBlock", "PulseAmplitudeModulatorBlock",
-    "QuadratureAmplitudeModulatorBlock",
+    "QuadratureAmplitudeModulatorBlock", "DiscriminatorDecimatingFIRBlock",
 ]
 
 # Symbol mappers are time-local: the chunk planner keeps every shard's

@@ -231,7 +231,8 @@ class Graph:
     graph."""
 
     def __init__(self, top: CompositeBlock, chunk_size: int | None = None,
-                 optimize: bool | None = None, shards: int = 1):
+                 optimize: bool | None = None, shards: int = 1,
+                 fuse_pallas: bool = True):
         self.blocks, self.edges = top._flatten()
         self._validate_connected()
         self.order = self._topo_sort()
@@ -239,6 +240,10 @@ class Graph:
         self._demote_duals()
         self._validate_rates()
         from luaradio_tpu.core import optimize as opt
+        self.shards = shards
+        #: allow Pallas-kernel block substitutions (off under meshes,
+        #: whose vmapped/sharded segments the kernels do not support)
+        self.fuse_pallas = fuse_pallas and shards == 1
         if optimize is None:
             optimize = opt.enabled_by_env()
         self.n_fusions = opt.optimize_graph(self) if optimize else 0

@@ -183,7 +183,75 @@ def optimize_graph(graph) -> int:
             graph.order.insert(idx, new)
             n_rewrites += 1
             changed = True
+    n_rewrites += _fuse_disc_fir(graph)
     return n_rewrites
+
+
+def _fuse_disc_fir(graph) -> int:
+    """OPT-IN rewrite (LUARADIO_TPU_FORCE_WBFM_KERNEL=1):
+    ``FrequencyDiscriminator -> DecimatingFIR`` pairs fuse into one
+    Pallas block (blocks/signal/modem.py DiscriminatorDecimatingFIRBlock)
+    — the discriminated stream never round-trips through HBM between the
+    atan2 and the FIR matmul.
+
+    NOT enabled by default, by measurement (round 5, v5e): a pallas_call
+    is a fusion BARRIER — whatever produces the discriminator's input
+    (source RNG, the tuner filter chain) must materialize its output to
+    HBM for the custom call, which XLA would otherwise fuse straight
+    into the consumer.  Mid-graph, that materialization (~16 B/sample)
+    costs more than the saved discriminator round trip (~8 B/sample):
+    the runner chain measured 7.8 GS/s fused vs 11.0 GS/s letting XLA
+    fuse.  The substitution only pays where the input is already
+    materialized — which is exactly the hand-fused flagship step
+    (parallel/flagship.py) operating on boundary payloads.  The block
+    itself remains available for explicit use.
+    """
+    if not os.environ.get("LUARADIO_TPU_FORCE_WBFM_KERNEL"):
+        return 0
+    if os.environ.get("LUARADIO_TPU_DISABLE_WBFM_KERNEL"):
+        return 0
+    if not getattr(graph, "fuse_pallas", False):
+        return 0
+    from luaradio_tpu.core.composite import PortRef
+    from luaradio_tpu.blocks.signal.filtering import DecimatingFIRBlock
+    from luaradio_tpu.blocks.signal.modem import (
+        DiscriminatorDecimatingFIRBlock, FrequencyDiscriminatorBlock)
+
+    n = 0
+    for b in list(graph.order):
+        if not isinstance(b, FrequencyDiscriminatorBlock) \
+                or b not in graph.blocks:
+            continue
+        cons = graph.consumers(PortRef(b, 0))
+        if len(cons) != 1:
+            continue
+        d = cons[0].block
+        if not (isinstance(d, DecimatingFIRBlock)
+                and not np.iscomplexobj(d.taps) and not d._use_fft()):
+            continue
+        k = -(-len(d.taps) // 128) * 128       # kernel pads taps to 128s
+        if k - 1 > 128 * d.decimation:
+            continue  # halo exceeds the kernel frame window
+        new = DiscriminatorDecimatingFIRBlock.synth(
+            np.asarray(d.taps, np.float32), d.decimation,
+            b.gain / (2 * np.pi), b.input_rate,
+            name_hint=f"{b.name}+{d.name}")
+        new.initialize()
+        src = graph.edges.pop(PortRef(b, 0))
+        graph.edges[PortRef(new, 0)] = src
+        last = PortRef(d, 0)
+        for dref in list(graph.edges):
+            if graph.edges[dref] == last:
+                graph.edges[dref] = PortRef(new, 0)
+        graph.edges.pop(PortRef(d, 0), None)
+        idx = graph.order.index(b)
+        for blk in (b, d):
+            graph.blocks.remove(blk)
+            graph.order.remove(blk)
+        graph.blocks.append(new)
+        graph.order.insert(idx, new)
+        n += 1
+    return n
 
 
 __all__ = ["optimize_graph", "enabled_by_env"]

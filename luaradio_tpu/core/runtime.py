@@ -539,7 +539,7 @@ class Runner:
         self.time_axis = time_axis if self._time_sharded else None
         tshards = int(mesh.shape[time_axis]) if self._time_sharded else 1
         self.graph = Graph(top, chunk_size=chunk_size, optimize=optimize,
-                           shards=tshards)
+                           shards=tshards, fuse_pallas=mesh is None)
         self.mode = mode
         self.mesh = mesh
         chan_banked = mesh is not None and channel_axis in mesh.axis_names

@@ -257,4 +257,147 @@ def make_wbfm_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
     return fused
 
 
-__all__ = ["make_wbfm_pallas"]
+def _planar_kernel(halo, tile, d, b, inv_gain, nsteps, fir_exact,
+                   re_ref, im_ref, cre_ref, cim_ref, tmat_ref, out_ref,
+                   win_ref, sems, hsems):
+    """Discriminator + decimating FIR on PLANAR (re, im) streams.
+
+    The in-graph variant of :func:`_kernel`: inside a fused XLA program
+    complex64 is already stored as separate float planes, so there is no
+    deinterleave to do at all — the kernel's only stages are the VPU
+    conj-multiply + atan2 and the MXU banded FIR, one HBM read per
+    sample, one D-th write, intermediates in VMEM.
+
+    win_ref: VMEM [2 slots, 2 planes, C, (halo+1+tile)] double-buffered
+    [head | tile] windows; sems/hsems: [slot, plane] DMA semaphores.
+    """
+    i = pl.program_id(0)
+    c = win_ref.shape[2]
+    head = halo + 1
+    slot = i % 2
+
+    def start(slot_, plane, src_ref, carry_src, idx):
+        pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(idx * tile, tile)],
+            win_ref.at[slot_, plane, :, pl.ds(head, tile)],
+            sems.at[slot_, plane]).start()
+        if carry_src is not None:
+            pltpu.make_async_copy(carry_src.at[:, pl.ds(0, head)],
+                                  win_ref.at[slot_, plane, :,
+                                             pl.ds(0, head)],
+                                  hsems.at[slot_, plane]).start()
+        else:
+            hstart = pl.multiple_of(idx * tile - head, 128)
+            pltpu.make_async_copy(src_ref.at[:, pl.ds(hstart, head)],
+                                  win_ref.at[slot_, plane, :,
+                                             pl.ds(0, head)],
+                                  hsems.at[slot_, plane]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0, re_ref, cre_ref, 0)
+        start(0, 1, im_ref, cim_ref, 0)
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        start((i + 1) % 2, 0, re_ref, None, i + 1)
+        start((i + 1) % 2, 1, im_ref, None, i + 1)
+
+    for plane, src in ((0, re_ref), (1, im_ref)):
+        pltpu.make_async_copy(src.at[:, pl.ds(0, tile)],
+                              win_ref.at[slot, plane, :, pl.ds(head, tile)],
+                              sems.at[slot, plane]).wait()
+        pltpu.make_async_copy(src.at[:, pl.ds(0, head)],
+                              win_ref.at[slot, plane, :, pl.ds(0, head)],
+                              hsems.at[slot, plane]).wait()
+
+    re = win_ref[slot, 0]
+    im = win_ref[slot, 1]
+    rp = re[:, :-1]
+    ip = im[:, :-1]
+    rc = re[:, 1:]
+    ic = im[:, 1:]
+    tre = rc * rp + ic * ip
+    tim = ic * rp - rc * ip
+    m = _atan2(tim, tre) * inv_gain          # [c, halo + tile]
+
+    w = tmat_ref.shape[0]
+    bb = b * d
+    nf = tile // bb
+    pad = (nf + 1) * bb - (halo + tile)
+    m2 = jnp.pad(m, ((0, 0), (0, pad))).reshape(c, nf + 1, bb)
+    fr = jnp.concatenate([m2[:, :-1, :], m2[:, 1:, :w - bb]], axis=-1)
+    fir_dot = _dot_highest if fir_exact else _dot_split22
+    y = fir_dot(fr.reshape(c * nf, w), tmat_ref[:, :])
+    out_ref[:, :] = y.reshape(c, nf * b)
+
+
+def make_disc_fir_pallas(taps: np.ndarray, decimation: int, inv_gain: float,
+                         tile: int | None = None, block: int = 128,
+                         interpret: bool | None = None,
+                         fir_exact: bool = False):
+    """Build fused(carry_re [C, K], carry_im [C, K], re [C, T], im [C, T])
+    -> audio [C, T//D]: frequency discriminator + decimating FIR in one
+    VMEM pass (the in-graph planar form of :func:`make_wbfm_pallas`; the
+    caller keeps the complex carry and passes its planes).
+
+    Same constraints: len(taps) K a multiple of 128; chunks whose T is
+    not a multiple of ``tile`` run the identical math in plain XLA."""
+    taps = np.asarray(taps, np.float32)
+    k = len(taps)
+    if k % 128:
+        raise ValueError("len(taps) must be a multiple of 128 (zero-pad)")
+    halo = k - 1
+    d = decimation
+    b = block
+    if tile is None:
+        tile = b * d * 16
+    if tile % (b * d):
+        raise ValueError("tile must be a multiple of block*decimation")
+    from luaradio_tpu.ops.fir import _decim_tap_matrix
+    tmat = _decim_tap_matrix(taps, b, d)
+    if halo > b * d:
+        raise ValueError("taps too long for the frame window; raise block")
+
+    jtaps = jnp.asarray(taps[::-1].copy())
+
+    def _xla_ref(cre, cim, re, im):
+        rw = jnp.concatenate([cre, re], axis=-1)
+        iw = jnp.concatenate([cim, im], axis=-1)
+        rp, ip = rw[:, :-1], iw[:, :-1]
+        rc, ic = rw[:, 1:], iw[:, 1:]
+        m = jnp.arctan2(ic * rp - rc * ip, rc * rp + ic * ip) * inv_gain
+        y = jax.lax.conv_general_dilated(
+            m[:, None, :], jtaps[None, None, :], (d,), "VALID",
+            precision=jax.lax.Precision.HIGHEST)
+        return y[:, 0, :]
+
+    def fused(carry_re, carry_im, re, im):
+        interp = (jax.default_backend() == "cpu" if interpret is None
+                  else interpret)
+        c, t = re.shape
+        if t % tile:
+            return _xla_ref(carry_re, carry_im, re, im)
+        nsteps = t // tile
+        kern = functools.partial(_planar_kernel, halo, tile, d, b,
+                                 np.float32(inv_gain), nsteps, fir_exact)
+        return pl.pallas_call(
+            kern,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((c, tile // d), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, t // d), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, c, halo + 1 + tile), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interp,
+        )(re, im, carry_re, carry_im, jnp.asarray(tmat))
+
+    return fused
+
+
+__all__ = ["make_wbfm_pallas", "make_disc_fir_pallas"]

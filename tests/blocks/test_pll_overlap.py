@@ -178,7 +178,10 @@ def test_pll_pallas_phase_kernel_matches_oracle():
             .astype(np.complex64)]),
     }
     for name, x in cases.items():
-        for mult in (1.0, 3.0):
+        # 2.5 exercises the fractional-multiplier branch (float-radian
+        # output-oscillator side chain; integer mults advance phi_m by
+        # an exact int32 multiply of the locked increment)
+        for mult in (1.0, 2.5, 3.0):
             st = np.array([0.3, -0.5, (fmin + fmax) / 2], np.float32)
             xp = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
             out, err, ns = pll_pallas(xp, jnp.asarray(st), alpha, beta,

@@ -153,3 +153,51 @@ def test_unstable_iir_not_converted(tmp_path):
                 RealFileSink(str(tmp_path / "o.f32"), "f32le"))
     g = Graph(top, chunk_size=2048, optimize=True)
     assert leaky in g.order  # not rewritten
+
+
+def test_disc_fir_pallas_fusion_matches_unfused(tmp_path, monkeypatch):
+    """The TPU-only discriminator+FIR Pallas substitution (forced on CPU
+    via interpret mode) must reproduce the unfused chain across chunk
+    boundaries within kernel tolerance."""
+    import numpy as np
+    import luaradio_tpu as lr
+    from luaradio_tpu.core.runtime import Runner
+    from luaradio_tpu.blocks.signal.modem import \
+        DiscriminatorDecimatingFIRBlock
+
+    rng = np.random.default_rng(5)
+    n = 1 << 15
+    x = (np.exp(1j * 0.25 * np.cumsum(rng.standard_normal(n)))
+         ).astype(np.complex64)
+    iq = str(tmp_path / "x.iq")
+    x.view(np.float32).tofile(iq)
+
+    def build(out):
+        top = lr.CompositeBlock()
+        top.connect(
+            lr.IQFileSource(iq, "f32le", 256e3),
+            lr.FrequencyTranslatorBlock(-50e3),
+            lr.LowpassFilterBlock(64, 100e3, use_fft=False),
+            lr.FrequencyDiscriminatorBlock(1.25),
+            lr.LowpassFilterBlock(32, 15e3, use_fft=False),
+            lr.FMDeemphasisFilterBlock(75e-6),
+            lr.DownsamplerBlock(8),
+            lr.RealFileSink(out, "f32le"))
+        return top
+
+    outs = {}
+    for mode, env in (("fused_kernel", "LUARADIO_TPU_FORCE_WBFM_KERNEL"),
+                      ("unfused", "LUARADIO_TPU_DISABLE_WBFM_KERNEL")):
+        monkeypatch.setenv(env, "1")
+        out = str(tmp_path / f"{mode}.f32")
+        r = Runner(build(out), mode="fused", chunk_size=1 << 14)
+        fused_blocks = [b for b in r.graph.order
+                        if isinstance(b, DiscriminatorDecimatingFIRBlock)]
+        assert bool(fused_blocks) == (mode == "fused_kernel")
+        r.run()
+        monkeypatch.delenv(env)
+        outs[mode] = np.fromfile(out, dtype=np.float32)
+    a, b = outs["fused_kernel"], outs["unfused"]
+    assert a.shape == b.shape and a.size >= n // 8 - 64
+    scale = max(float(np.max(np.abs(b))), 1e-3)
+    assert np.max(np.abs(a - b)) < 2e-5 * scale
